@@ -1,0 +1,46 @@
+"""raytracing_tpu: a TPU-native path-tracing framework (JAX/XLA/Pallas).
+
+A from-scratch re-design of the capabilities of the reference C++ project
+``adihodos/raytracing.cpp`` (an interactive multithreaded CPU "Ray Tracing in
+One Weekend" renderer) for TPU hardware:
+
+  core/      math, color pipe, counter-based RNG, thin-lens camera   (L1-L2)
+  scene/     SoA sphere world, JSON world config, cover-scene build  (L2)
+  ops/       intersection + scatter kernels (XLA and Pallas paths)   (hot ops)
+  models/    wavefront integrator(s)                                 (L2-L3)
+  parallel/  device-mesh sharding of the (pixel, sample) grid        (L3)
+  runtime/   progressive renderer, display, logging, CLI             (L3-L6)
+  utils/     PNG IO, profiling helpers                               (infra)
+
+See SURVEY.md at the repo root for the reference layer map this mirrors.
+"""
+
+from .core.camera import CameraParameters, DerivedCamera, derive
+from .scene.config import (
+    WorldDefinition,
+    build_world,
+    load_and_build,
+    load_world,
+    make_world_basic,
+)
+from .scene.types import MaterialKind, Scene, SceneBuilder
+from .runtime.renderer import Renderer, RenderProgress
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CameraParameters",
+    "DerivedCamera",
+    "derive",
+    "WorldDefinition",
+    "build_world",
+    "load_and_build",
+    "load_world",
+    "make_world_basic",
+    "MaterialKind",
+    "Scene",
+    "SceneBuilder",
+    "Renderer",
+    "RenderProgress",
+    "__version__",
+]

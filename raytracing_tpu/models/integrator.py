@@ -1,0 +1,192 @@
+"""Wavefront path-tracing integrator: ``lax.while_loop`` over bounce depth.
+
+This is the TPU-native re-design of the reference's recursive radiance
+function ``RayTracingCore::compute_color``
+(``/root/reference/src/ray.tracer.core.cc:236-257``) and per-pixel sample loop
+``raytrace_pixel`` (``core.cc:259-265``). The recursion
+
+    depth == 0           -> black                     (core.cc:238-240)
+    hit && scatter       -> attenuation * recurse     (core.cc:246-249)
+    hit && absorbed      -> black                     (core.cc:251)
+    miss                 -> vertical-gradient sky     (core.cc:254-256)
+
+becomes an iterative wavefront over a flat ray batch: every live ray carries a
+``throughput`` (the product of attenuations so far) and adds
+``throughput * sky`` to its radiance at the bounce where it escapes. Rays that
+are absorbed, or that survive ``max_depth`` scatters without escaping,
+contribute exactly zero -- matching the recursion's base cases under masking
+(SURVEY.md section 7 "Hard parts" item 1).
+
+A ``lax.while_loop`` (not ``scan``) is used so the whole batch stops as soon
+as every ray is dead: with the shipped depth-8 config most rays terminate in
+2-3 bounces, and with depth 50 the early-exit saves ~an order of magnitude of
+work over a fixed-trip scan.
+
+RNG: every draw derives from the per-ray key folded with the bounce index, so
+radiance is a pure function of (seed, global ray id) -- independent of batch
+chunking, sharding, or device count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as rcamera
+from ..core import math as rmath
+from ..core import rng as rrng
+from ..ops import intersect as rintersect
+from ..ops import scatter as rscatter
+from ..scene.types import Scene
+
+# Sky gradient endpoints (core.cc:254-256).
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)
+
+# Tag mixed into per-ray keys together with the bounce index, keeping bounce
+# streams disjoint from the camera streams (rng.STREAM_CAM_*).
+_BOUNCE_TAG = 0x10000
+
+# Scattered rays restart from p + eps * n_oriented instead of exactly p.
+# DOCUMENTED DEVIATION from the reference (which restarts at the hit point and
+# relies on t_min=1e-4, core.cc:243 + material.defs.cc:40): in float32 the
+# quadratic for large spheres (the radius-1000 ground, |oc|^2 ~ 1e6) has
+# absolute error well above 1e-4 in t, producing shadow acne -- extra
+# self-hits that darken contact regions. The reference's own float32 math has
+# the same artifact; the RTiOW *intent* is acne-free, so we follow intent
+# (SURVEY.md section 7 "Hard parts" item 6 policy) and nudge the origin along
+# the normal, signed toward the new ray's hemisphere so dielectric refraction
+# still correctly hits the same sphere's far side. 1e-3 is radiometrically
+# negligible at scene scale (~unit-radius spheres).
+SELF_HIT_OFFSET = 1.0e-3
+
+
+def sky_color(directions: jnp.ndarray) -> jnp.ndarray:
+    """Vertical-gradient background (``core.cc:254-256``)."""
+    unit = rmath.normalize(directions, eps=1.0e-20)
+    t = 0.5 * (unit[..., 1] + 1.0)
+    white = jnp.asarray(SKY_WHITE, jnp.float32)
+    blue = jnp.asarray(SKY_BLUE, jnp.float32)
+    return rmath.lerp(white, blue, t[..., None])
+
+
+def trace_rays(
+    scene: Scene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    keys: jax.Array,
+    max_depth: int,
+    *,
+    use_matmul: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace a batch of rays to completion.
+
+    Args:
+      scene: SoA sphere world.
+      origins, directions: ``(B, 3)`` float32 camera rays.
+      keys: ``(B,)`` per-ray RNG keys (see ``core.rng.ray_keys``).
+      max_depth: maximum number of scatters (``rts_maxdepth``,
+        ``core.cc:205``); a ray still alive after ``max_depth`` bounces
+        contributes 0 (``core.cc:238-240``).
+
+    Returns:
+      ``(radiance, segments)``: per-ray linear RGB radiance ``(B, 3)`` and the
+      scalar int32 count of ray segments actually traced (the honest
+      denominator for Mrays/s -- rays * E[path length], SURVEY.md section 3.3).
+    """
+    b = origins.shape[0]
+    if scene.num_objects == 0:
+        # Static empty world: every ray escapes to the sky on its first
+        # bounce (or contributes black when max_depth == 0, core.cc:238-240).
+        if max_depth <= 0:
+            return jnp.zeros((b, 3), jnp.float32), jnp.int32(0)
+        return sky_color(directions), jnp.int32(b)
+
+    init = (
+        origins,
+        directions,
+        jnp.ones((b, 3), jnp.float32),   # throughput
+        jnp.zeros((b, 3), jnp.float32),  # radiance
+        jnp.ones((b,), bool),            # alive
+        jnp.int32(0),                    # bounce index
+        jnp.int32(0),                    # segments traced
+    )
+
+    def cond(state):
+        _, _, _, _, alive, bounce, _ = state
+        return (bounce < max_depth) & jnp.any(alive)
+
+    def body(state):
+        o, d, tp, rad, alive, bounce, segments = state
+
+        t, idx, hitm = rintersect.intersect_scene(o, d, scene, use_matmul=use_matmul)
+        hit = alive & hitm
+        miss = alive & ~hitm
+
+        # Escaped rays collect the sky exactly once, at this bounce.
+        rad = rad + jnp.where(miss[..., None], tp * sky_color(d), 0.0)
+
+        p, normal, front = rintersect.hit_records(o, d, t, idx, scene)
+        kind = scene.mat_kind[idx]
+        albedo = scene.albedo[idx]
+        fuzz = scene.fuzz[idx]
+        ior = scene.ior[idx]
+
+        bounce_keys = rrng.fold(keys, _BOUNCE_TAG + bounce)
+        unit_vec = rrng.unit_vector(rrng.fold(bounce_keys, rrng.STREAM_UNIT_VEC))
+        urand = rrng.uniform(rrng.fold(bounce_keys, rrng.STREAM_SCHLICK))
+
+        new_dir, atten, scat_ok = rscatter.scatter(
+            d, normal, front, kind, albedo, fuzz, ior, unit_vec, urand
+        )
+
+        survives = hit & scat_ok
+        side = jnp.sign(rmath.dot(new_dir, normal))[..., None]
+        p_safe = p + SELF_HIT_OFFSET * side * normal
+        tp = jnp.where(survives[..., None], tp * atten, tp)
+        o = jnp.where(survives[..., None], p_safe, o)
+        d = jnp.where(survives[..., None], new_dir, d)
+
+        segments = segments + jnp.sum(alive.astype(jnp.int32))
+        return (o, d, tp, rad, survives, bounce + 1, segments)
+
+    _, _, _, radiance, _, _, segments = jax.lax.while_loop(cond, body, init)
+    return radiance, segments
+
+
+def render_pixels(
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    base_key: jax.Array,
+    pixel_ids: jnp.ndarray,
+    sample_start: jnp.ndarray,
+    chunk_samples: int,
+    spp: int,
+    max_depth: int,
+    *,
+    use_matmul: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace ``chunk_samples`` samples for each pixel in ``pixel_ids``.
+
+    Pure function (jit-friendly; ``chunk_samples``/``spp``/``max_depth``
+    static). Global ray id = ``pixel_id * spp + sample_id`` so the result is
+    invariant to chunking and sharding.
+
+    Returns ``(radiance_sum[P, 3], segments)``.
+    """
+    p = pixel_ids.shape[0]
+    sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)  # (S,)
+    pix = jnp.repeat(pixel_ids, chunk_samples)          # (P*S,)
+    samp = jnp.tile(sample_ids, p)                      # (P*S,)
+    global_ids = pix * spp + samp
+
+    keys = rrng.ray_keys(base_key, global_ids)
+    px = pix % cam.image_width
+    py = pix // cam.image_width
+    origins, directions = rcamera.generate_rays(cam, keys, px, py)
+
+    radiance, segments = trace_rays(
+        scene, origins, directions, keys, max_depth, use_matmul=use_matmul
+    )
+    radiance_sum = jnp.sum(radiance.reshape(p, chunk_samples, 3), axis=1)
+    return radiance_sum, segments

@@ -1,0 +1,291 @@
+"""Render orchestrator: chunked progressive accumulation on device.
+
+TPU-native replacement for the reference's execution engine
+(``/root/reference/src/main.cc:404-782``): the worker threads, mutex'd tile
+queue (``MonkaGigaQueue``, ``main.cc:409-427``), per-pixel ZeroMQ messages
+(``main.cc:511-515``) and render-thread message pump (``main.cc:733-774``)
+collapse into a loop of jitted device steps:
+
+  * Work decomposition: instead of shuffled 8x8 pixel tiles (``main.cc:
+    615-633``), work is decomposed into (pixel-block x sample-chunk) waves
+    sized to a target ray-batch; no shuffling/queueing is needed because the
+    decomposition is statically balanced.
+  * Result delivery: instead of one serialized message per traced pixel (the
+    reference's biggest inefficiency -- SURVEY.md section 5.8), radiance sums
+    accumulate in a device-resident framebuffer; the host fetches a preview
+    image only when the progress callback asks for one (chunked device->host
+    readback).
+  * Progress metrics: ``pixels_count`` / ``pixels_raytraced`` /
+    ``render_time`` mirror the ``RayTracer`` metric API (``main.cc:547-566``)
+    that feeds the reference's UI progress bars (``main.cc:378-388``).
+
+The accumulator holds radiance SUMS so rendering is resumable / progressively
+refinable: the displayable image at any point is ``sums / samples_done``
+through the gamma+quantize pipe -- a capability the reference lacks
+(SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from ..core import camera as rcamera
+from ..core import color as rcolor
+from ..models import integrator
+from ..scene.types import Scene
+
+ProgressCallback = Callable[["RenderProgress"], None]
+
+
+@dataclasses.dataclass
+class RenderProgress:
+    """Snapshot handed to progress callbacks (the analog of the reference's
+    UI progress state, ``main.cc:360-402``)."""
+
+    samples_done: int
+    samples_total: int
+    pixels_count: int
+    segments_traced: int
+    elapsed_s: float
+    _preview: Callable[[], np.ndarray]
+
+    @property
+    def fraction(self) -> float:
+        return self.samples_done / max(self.samples_total, 1)
+
+    @property
+    def pixels_raytraced(self) -> int:
+        """Pixel-equivalents completed (== fraction * pixel count); the
+        reference counts whole delivered pixels (``main.cc:761``), ours
+        converge all pixels together sample-chunk by sample-chunk."""
+        return int(self.fraction * self.pixels_count)
+
+    def preview(self) -> np.ndarray:
+        """Fetch the current converged-so-far uint8 RGB image (device->host)."""
+        return self._preview()
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_samples", "spp", "max_depth", "use_matmul"), donate_argnums=(0,))
+def _accumulate_step(
+    image_sum: jnp.ndarray,
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    base_key: jax.Array,
+    pixel_ids: jnp.ndarray,
+    sample_start: jnp.ndarray,
+    chunk_samples: int,
+    spp: int,
+    max_depth: int,
+    use_matmul: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One wave: trace (pixel block) x (sample chunk), scatter-add into the
+    device framebuffer. ``image_sum`` has one trailing spill row so padded
+    pixel ids (== num_pixels) land harmlessly outside the image."""
+    rad_sum, segments = integrator.render_pixels(
+        scene,
+        cam,
+        base_key,
+        pixel_ids,
+        sample_start,
+        chunk_samples,
+        spp,
+        max_depth,
+        use_matmul=use_matmul,
+    )
+    image_sum = image_sum.at[pixel_ids].add(rad_sum)
+    return image_sum, segments
+
+
+def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) -> jnp.ndarray:
+    mean = image_sum[:-1] * jnp.float32(inv_samples)
+    return rcolor.rgb_to_u8(mean).reshape(height, width, 3)
+
+
+class Renderer:
+    """Progressive renderer for one scene + camera (the ``RayTracer`` analog,
+    ``main.cc:526-567``)."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        camera_params: rcamera.CameraParameters,
+        *,
+        seed: int = 0,
+        max_rays_per_batch: int = 1 << 20,
+        use_matmul: bool = True,
+    ) -> None:
+        self.scene = scene
+        self.params = camera_params
+        self.camera = rcamera.derive(camera_params)
+        self.seed = seed
+        self.base_key = jr.key(seed)
+        self.max_rays_per_batch = int(max_rays_per_batch)
+        self.use_matmul = use_matmul
+
+        self._samples_done = 0
+        self._segments = 0
+        self._start_time: float | None = None
+        self._end_time: float | None = None
+        self._image_sum: jnp.ndarray | None = None
+
+    # -- metric API parity with RayTracer (main.cc:547-566) -----------------
+    @property
+    def pixels_count(self) -> int:
+        return self.camera.image_width * self.camera.image_height
+
+    @property
+    def pixels_raytraced(self) -> int:
+        return int(self.fraction_done * self.pixels_count)
+
+    @property
+    def samples_done(self) -> int:
+        return self._samples_done
+
+    @property
+    def segments_traced(self) -> int:
+        """Total ray segments traced (denominator for Mrays/s)."""
+        return self._segments
+
+    @property
+    def fraction_done(self) -> float:
+        spp = getattr(self, "_spp_target", None)
+        if not spp:
+            return 0.0
+        return min(self._samples_done / spp, 1.0)
+
+    def render_time(self) -> float:
+        """Elapsed wall-clock seconds (running timer until complete, then
+        frozen -- semantics of ``main.cc:563-566, 771-773``)."""
+        if self._start_time is None:
+            return 0.0
+        end = self._end_time if self._end_time is not None else time.perf_counter()
+        return end - self._start_time
+
+    # -- work decomposition --------------------------------------------------
+    def _plan(self, spp: int) -> tuple[int, int]:
+        """Choose (pixel_block, chunk_spp) so a wave is <= max_rays_per_batch
+        rays. Favor whole-image pixel blocks (better for progressive preview);
+        split samples first, pixels only when one-sample whole-image waves are
+        still too large."""
+        num_pixels = self.pixels_count
+        if num_pixels <= self.max_rays_per_batch:
+            chunk_spp = max(1, min(spp, self.max_rays_per_batch // num_pixels))
+            return num_pixels, chunk_spp
+        return self.max_rays_per_batch, 1
+
+    def render(
+        self,
+        spp: int | None = None,
+        max_depth: int | None = None,
+        *,
+        on_progress: ProgressCallback | None = None,
+        progress_every_chunks: int = 1,
+    ) -> np.ndarray:
+        """Render the full image; returns ``uint8[H, W, 3]``.
+
+        The (samples x pixels) workload is traced wave by wave; between waves
+        the optional ``on_progress`` callback observes counters and may pull a
+        preview image -- the capability analog of the reference's live SSBO
+        display + progress bars (``main.cc:378-402``,
+        ``ray.tracer.image.display.cc``).
+        """
+        spp = int(spp if spp is not None else self.params.samples_per_pixel)
+        max_depth = int(max_depth if max_depth is not None else self.params.max_depth)
+        self._spp_target = spp
+
+        if spp <= 0:
+            # Zero samples: nothing to trace; the converged mean of an empty
+            # sample set is defined as black.
+            self._start_time = time.perf_counter()
+            self._end_time = self._start_time
+            self._samples_done = 0
+            return np.zeros((self.camera.image_height, self.camera.image_width, 3), np.uint8)
+
+        cam = self.camera
+        num_pixels = self.pixels_count
+        pixel_block, chunk_spp = self._plan(spp)
+
+        # Device framebuffer with one spill row for padded pixel ids.
+        image_sum = jnp.zeros((num_pixels + 1, 3), jnp.float32)
+
+        all_ids = np.arange(num_pixels, dtype=np.int32)
+        pad = (-num_pixels) % pixel_block
+        if pad:
+            all_ids = np.concatenate(
+                [all_ids, np.full(pad, num_pixels, np.int32)]
+            )
+        id_blocks = [
+            jnp.asarray(all_ids[i : i + pixel_block])
+            for i in range(0, len(all_ids), pixel_block)
+        ]
+
+        self._samples_done = 0
+        self._segments = 0
+        self._start_time = time.perf_counter()
+        self._end_time = None
+
+        seg_handles: list[jnp.ndarray] = []
+        chunk_index = 0
+        sample_start = 0
+        while sample_start < spp:
+            this_chunk = min(chunk_spp, spp - sample_start)
+            for ids in id_blocks:
+                image_sum, segments = _accumulate_step(
+                    image_sum,
+                    self.scene,
+                    cam,
+                    self.base_key,
+                    ids,
+                    jnp.int32(sample_start),
+                    this_chunk,
+                    spp,
+                    max_depth,
+                    self.use_matmul,
+                )
+                seg_handles.append(segments)
+            sample_start += this_chunk
+            self._samples_done = sample_start
+            chunk_index += 1
+
+            if on_progress is not None and (
+                chunk_index % progress_every_chunks == 0 or sample_start >= spp
+            ):
+                # Sync segment counters lazily (they are tiny scalars).
+                self._segments += int(sum(int(s) for s in seg_handles))
+                seg_handles.clear()
+                done = sample_start
+                # Convert the snapshot to u8 NOW (cheap, on device, and safe
+                # against buffer donation by later steps); fetching to host is
+                # deferred until .preview() is actually called.
+                snapshot_u8 = _to_u8(
+                    image_sum, 1.0 / done, cam.image_height, cam.image_width
+                )
+                on_progress(
+                    RenderProgress(
+                        samples_done=done,
+                        samples_total=spp,
+                        pixels_count=num_pixels,
+                        segments_traced=self._segments,
+                        elapsed_s=self.render_time(),
+                        _preview=lambda s=snapshot_u8: np.asarray(jax.device_get(s)),
+                    )
+                )
+
+        image_u8 = _to_u8(image_sum, 1.0 / spp, cam.image_height, cam.image_width)
+        image_np = np.asarray(jax.device_get(image_u8))
+        self._segments += int(sum(int(s) for s in seg_handles))
+        self._end_time = time.perf_counter()
+        self._image_sum = image_sum
+        return image_np
+
+    def mrays_per_sec(self) -> float:
+        t = self.render_time()
+        return (self._segments / t) / 1.0e6 if t > 0 else 0.0

@@ -1,0 +1,311 @@
+"""World/scene configuration: JSON schema + procedural cover-scene builder.
+
+Equivalent of the reference's reflect-cpp config system
+(``/root/reference/src/ray.tracer.core.cc:47-149``):
+
+- ``WorldDefinition``: same fields and in-code defaults as the C++ struct
+  (``core.cc:67-95``); ``load_world`` reads the same JSON layout as the
+  shipped ``data/config/world.config.json`` including the
+  ``{"material_def": "<TypeName>", ...}`` tagged-union encoding produced by
+  ``rfl::TaggedUnion<"material_def", AlbedoMatDef, DielectricMatDef,
+  MetallicMatDef>`` (``core.cc:65``).
+- ``build_world``: the explicit object list + random a x b sphere grid of
+  ``make_world_spheres`` (``core.cc:99-149``).
+- ``make_world_basic``: the two-sphere test scene (``core.cc:20-45``; dead
+  code in the reference -- kept here because it is the natural golden-test
+  scene).
+
+Reference-behavior quirk (SURVEY.md section 2C quirk 1): ``core.cc:130`` calls
+``glm::vec3::length()`` which returns the component COUNT (3), not the norm,
+so the "grid sphere too close to the big spheres" filter never rejects and
+every one of the (a_max-a_min) x (b_max-b_min) grid spheres is placed. By
+default we reproduce that behavior (``apply_center_filter=False`` => 22x22
+grid + 4 fixed = 488 spheres with the shipped config) so performance and
+images are comparable with the reference binary; pass
+``apply_center_filter=True`` for the RTiOW-intended filter
+(``norm(center - center_offset) > center_dist_treshold``).
+
+Scene-grid randomness uses a seeded numpy Generator (host-side, build-time
+only): the reference uses an unseeded mt19937 (``random.number.gen.hpp:46``)
+so its scene is different every run; a fixed default seed makes ours
+reproducible while ``seed=None`` restores reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..core.camera import CameraParameters
+from .types import Scene, SceneBuilder
+
+DEFAULT_GRID_SEED = 20260816
+
+
+@dataclasses.dataclass(frozen=True)
+class SphereDef:
+    """``core.cc:47-50``."""
+
+    center: tuple[float, float, float]
+    radius: float
+
+
+@dataclasses.dataclass(frozen=True)
+class AlbedoMatDef:
+    """Lambertian material def (``core.cc:52-54``)."""
+
+    albedo: tuple[float, float, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class DielectricMatDef:
+    """``core.cc:56-58``."""
+
+    refindex: float
+
+
+@dataclasses.dataclass(frozen=True)
+class MetallicMatDef:
+    """``core.cc:60-63``. Field spelled ``fuzzines`` to stay JSON-compatible."""
+
+    albedo: tuple[float, float, float]
+    fuzzines: float
+
+
+MaterialDef = AlbedoMatDef | DielectricMatDef | MetallicMatDef
+
+_MATERIAL_DEF_TAGS = {
+    "AlbedoMatDef": AlbedoMatDef,
+    "DielectricMatDef": DielectricMatDef,
+    "MetallicMatDef": MetallicMatDef,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class WorldDefinition:
+    """Scene + camera config; defaults == ``core.cc:67-95``."""
+
+    camera: CameraParameters = CameraParameters()
+    a_min: int = -11
+    a_max: int = 11
+    b_min: int = -11
+    b_max: int = 11
+    center: tuple[float, float, float] = (0.2, 0.9, 0.2)
+    center_offset: tuple[float, float, float] = (4.0, 0.2, 0.0)
+    center_dist_treshold: float = 0.9
+    diffuse_material_treshold: float = 0.85
+    metal_material_treshold: float = 0.95
+    objects: tuple[tuple[SphereDef, MaterialDef], ...] = (
+        (SphereDef((0.0, -1000.0, 0.0), 1000.0), AlbedoMatDef((0.5, 0.5, 0.5))),
+        (SphereDef((0.0, 1.0, 0.0), 1.0), DielectricMatDef(1.5)),
+        (SphereDef((-4.0, -1.0, 0.0), 1.0), AlbedoMatDef((0.4, 0.2, 0.1))),
+        (SphereDef((4.0, -1.0, 0.0), 1.0), AlbedoMatDef((0.7, 0.6, 0.5))),
+    )
+
+
+def _parse_material_def(obj: dict[str, Any]) -> MaterialDef:
+    """Decode the rfl tagged-union encoding (``core.cc:65``)."""
+    tag = obj["material_def"]
+    cls = _MATERIAL_DEF_TAGS.get(tag)
+    if cls is None:
+        raise ValueError(f"unknown material_def tag: {tag!r}")
+    if cls is AlbedoMatDef:
+        return AlbedoMatDef(tuple(float(x) for x in obj["albedo"]))
+    if cls is DielectricMatDef:
+        return DielectricMatDef(float(obj["refindex"]))
+    return MetallicMatDef(
+        tuple(float(x) for x in obj["albedo"]), float(obj["fuzzines"])
+    )
+
+
+def material_def_to_json(mat: MaterialDef) -> dict[str, Any]:
+    if isinstance(mat, AlbedoMatDef):
+        return {"material_def": "AlbedoMatDef", "albedo": list(mat.albedo)}
+    if isinstance(mat, DielectricMatDef):
+        return {"material_def": "DielectricMatDef", "refindex": mat.refindex}
+    return {
+        "material_def": "MetallicMatDef",
+        "albedo": list(mat.albedo),
+        "fuzzines": mat.fuzzines,
+    }
+
+
+def world_from_dict(data: dict[str, Any]) -> WorldDefinition:
+    """Build a WorldDefinition from parsed JSON, applying reference defaults
+    for absent fields (reflect-cpp fills from struct initializers)."""
+    defaults = WorldDefinition()
+    cam_raw = data.get("camera", {})
+    cam_defaults = defaults.camera
+    camera = CameraParameters(
+        aspect_ratio=float(cam_raw.get("aspect_ratio", cam_defaults.aspect_ratio)),
+        image_width=int(cam_raw.get("image_width", cam_defaults.image_width)),
+        samples_per_pixel=int(
+            cam_raw.get("samples_per_pixel", cam_defaults.samples_per_pixel)
+        ),
+        max_depth=int(cam_raw.get("max_depth", cam_defaults.max_depth)),
+        vertical_fov=float(cam_raw.get("vertical_fov", cam_defaults.vertical_fov)),
+        defocus_angle=float(cam_raw.get("defocus_angle", cam_defaults.defocus_angle)),
+        focus_distance=float(
+            cam_raw.get("focus_distance", cam_defaults.focus_distance)
+        ),
+        lookfrom=tuple(float(x) for x in cam_raw.get("lookfrom", cam_defaults.lookfrom)),
+        lookat=tuple(float(x) for x in cam_raw.get("lookat", cam_defaults.lookat)),
+        world_up=tuple(float(x) for x in cam_raw.get("world_up", cam_defaults.world_up)),
+    )
+
+    objects: list[tuple[SphereDef, MaterialDef]] = []
+    if "objects" in data:
+        for sphere_raw, mat_raw in data["objects"]:
+            objects.append(
+                (
+                    SphereDef(
+                        tuple(float(x) for x in sphere_raw["center"]),
+                        float(sphere_raw["radius"]),
+                    ),
+                    _parse_material_def(mat_raw),
+                )
+            )
+    else:
+        objects = list(defaults.objects)
+
+    def _vec3(name: str, fallback):
+        return tuple(float(x) for x in data.get(name, fallback))
+
+    return WorldDefinition(
+        camera=camera,
+        a_min=int(data.get("a_min", defaults.a_min)),
+        a_max=int(data.get("a_max", defaults.a_max)),
+        b_min=int(data.get("b_min", defaults.b_min)),
+        b_max=int(data.get("b_max", defaults.b_max)),
+        center=_vec3("center", defaults.center),
+        center_offset=_vec3("center_offset", defaults.center_offset),
+        center_dist_treshold=float(
+            data.get("center_dist_treshold", defaults.center_dist_treshold)
+        ),
+        diffuse_material_treshold=float(
+            data.get("diffuse_material_treshold", defaults.diffuse_material_treshold)
+        ),
+        metal_material_treshold=float(
+            data.get("metal_material_treshold", defaults.metal_material_treshold)
+        ),
+        objects=tuple(objects),
+    )
+
+
+def load_world(path: str | pathlib.Path) -> WorldDefinition:
+    """JSON file -> WorldDefinition (== ``rfl::json::load`` at ``core.cc:102``)."""
+    with open(path, "r", encoding="utf-8") as f:
+        return world_from_dict(json.load(f))
+
+
+def _add_explicit_objects(builder: SceneBuilder, objects: Sequence[tuple[SphereDef, MaterialDef]]) -> None:
+    """The rfl::visit material dispatch of ``core.cc:104-122``."""
+    for sphere, mat in objects:
+        if isinstance(mat, AlbedoMatDef):
+            builder.add_lambertian_sphere(sphere.center, sphere.radius, mat.albedo)
+        elif isinstance(mat, DielectricMatDef):
+            builder.add_dielectric_sphere(sphere.center, sphere.radius, mat.refindex)
+        elif isinstance(mat, MetallicMatDef):
+            builder.add_metallic_sphere(
+                sphere.center, sphere.radius, mat.albedo, mat.fuzzines
+            )
+        else:  # pragma: no cover
+            raise TypeError(f"unknown material def: {mat!r}")
+
+
+def build_world(
+    world: WorldDefinition,
+    *,
+    seed: int | None = DEFAULT_GRID_SEED,
+    apply_center_filter: bool = False,
+) -> tuple[CameraParameters, Scene]:
+    """``make_world_spheres`` (``core.cc:99-149``): explicit objects plus the
+    random grid of small spheres.
+
+    Grid semantics (``core.cc:125-146``), reproduced exactly:
+      - per cell (a, b): ``choose_mat = U[0,1)``, then
+        ``center = (a + 0.9*U, 0.2, b + 0.9*U)`` -- note the reference
+        HARDCODES the 0.2 height, 0.9 jitter, and 0.2 radius; the config's
+        ``center`` field is loaded but unused. Same here.
+      - material thresholds: diffuse below ``diffuse_material_treshold``
+        (albedo = U3[0,1) * U3[0,1)); metal below ``metal_material_treshold``
+        (albedo = U3[0.5,1), fuzz = U[0,0.5)); else dielectric with
+        ior = U[1.2,1.6) -- the reference deviates from RTiOW's fixed 1.5.
+      - ``apply_center_filter``: see module docstring (reference behavior is
+        False due to the ``.length()`` quirk at ``core.cc:130``).
+
+    RNG draw ORDER matches the reference exactly (choose_mat, then the two
+    center jitters, then material params) so a fixed seed gives one coherent
+    scene; values are numpy PCG64 rather than mt19937 (distribution-equal).
+    """
+    builder = SceneBuilder()
+    _add_explicit_objects(builder, world.objects)
+
+    rand = np.random.default_rng(seed)
+    offset = np.asarray(world.center_offset, np.float32)
+
+    for a in range(world.a_min, world.a_max):
+        for b in range(world.b_min, world.b_max):
+            choose_mat = rand.random()
+            center = np.array(
+                [a + 0.9 * rand.random(), 0.2, b + 0.9 * rand.random()], np.float32
+            )
+
+            if apply_center_filter:
+                placed = float(np.linalg.norm(center - offset)) > world.center_dist_treshold
+            else:
+                # Reference behavior: vec3::length() == 3 > threshold, always true.
+                placed = True
+            if not placed:
+                continue
+
+            if choose_mat < world.diffuse_material_treshold:
+                albedo = rand.random(3) * rand.random(3)
+                builder.add_lambertian_sphere(center, 0.2, albedo)
+            elif choose_mat < world.metal_material_treshold:
+                albedo = 0.5 + 0.5 * rand.random(3)
+                fuzz = 0.5 * rand.random()
+                builder.add_metallic_sphere(center, 0.2, albedo, fuzz)
+            else:
+                ior = 1.2 + 0.4 * rand.random()
+                builder.add_dielectric_sphere(center, 0.2, ior)
+
+    return world.camera, builder.build()
+
+
+def make_world_basic() -> tuple[CameraParameters, Scene]:
+    """Two-sphere test scene (``core.cc:20-45``; dead in the reference)."""
+    r = float(np.cos(np.pi * 0.25))
+    builder = SceneBuilder()
+    builder.add_lambertian_sphere((-r, 0.0, -1.0), r, (0.0, 0.0, 1.0))
+    builder.add_lambertian_sphere((r, 0.0, -1.0), r, (1.0, 0.0, 0.0))
+    camera = CameraParameters(
+        aspect_ratio=16.0 / 9.0,
+        image_width=800,
+        samples_per_pixel=100,
+        max_depth=50,
+        vertical_fov=20.0,
+        defocus_angle=10.0,
+        focus_distance=3.4,
+        lookfrom=(-2.0, 2.0, 1.0),
+        lookat=(0.0, 0.0, -1.0),
+        world_up=(0.0, 1.0, 0.0),
+    )
+    return camera, builder.build()
+
+
+def load_and_build(
+    path: str | pathlib.Path,
+    *,
+    seed: int | None = DEFAULT_GRID_SEED,
+    apply_center_filter: bool = False,
+) -> tuple[CameraParameters, Scene]:
+    """JSON config file -> (camera, scene); the ``default_setup`` entry flow
+    (``core.cc:171-172``)."""
+    return build_world(
+        load_world(path), seed=seed, apply_center_filter=apply_center_filter
+    )

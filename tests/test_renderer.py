@@ -1,0 +1,115 @@
+"""Renderer orchestration: chunk invariance, progress metrics, PNG output.
+
+The chunk-invariance test is the TPU-world analog of the reference's
+"tile order doesn't matter" property (shuffled tiles, main.cc:631-633): here
+the image is bitwise identical for ANY work decomposition because the RNG is
+keyed by global ray id."""
+
+import numpy as np
+
+from raytracing_tpu import CameraParameters, Renderer, make_world_basic
+from raytracing_tpu.scene.types import SceneBuilder
+from raytracing_tpu.utils import png
+
+
+def _small_scene():
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5))
+    b.add_metallic_sphere((0.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.05)
+    b.add_dielectric_sphere((-1.1, 0.0, -1.0), 0.5, 1.5)
+    return b.build()
+
+
+def _params(**kw):
+    d = dict(
+        aspect_ratio=2.0,
+        image_width=64,
+        samples_per_pixel=8,
+        max_depth=6,
+        vertical_fov=60.0,
+        defocus_angle=0.0,
+        focus_distance=1.0,
+        lookfrom=(0.0, 0.0, 0.5),
+        lookat=(0.0, 0.0, -1.0),
+        world_up=(0.0, 1.0, 0.0),
+    )
+    d.update(kw)
+    return CameraParameters(**d)
+
+
+def test_render_shape_dtype_and_content():
+    r = Renderer(_small_scene(), _params(), seed=1)
+    img = r.render()
+    assert img.shape == (32, 64, 3)
+    assert img.dtype == np.uint8
+    # Sky at the top, ground at the bottom -> image is not constant.
+    assert img.std() > 10
+    # Top rows are sky-ish blue gradient: blue channel dominates red.
+    assert img[0, :, 2].mean() > img[0, :, 0].mean()
+
+
+def test_chunking_invariance_bitwise():
+    """Same seed, wildly different work decomposition -> identical image."""
+    scene = _small_scene()
+    r_big = Renderer(scene, _params(), seed=7, max_rays_per_batch=1 << 20)
+    r_tiny = Renderer(scene, _params(), seed=7, max_rays_per_batch=512)
+    img_big = r_big.render()
+    img_tiny = r_tiny.render()
+    np.testing.assert_array_equal(img_big, img_tiny)
+
+
+def test_seed_changes_noise():
+    scene = _small_scene()
+    img1 = Renderer(scene, _params(), seed=1).render()
+    img2 = Renderer(scene, _params(), seed=2).render()
+    assert not np.array_equal(img1, img2)
+
+
+def test_progress_callback_and_metrics():
+    scene = _small_scene()
+    r = Renderer(scene, _params(samples_per_pixel=16), seed=0, max_rays_per_batch=4096)
+    events = []
+
+    def on_progress(p):
+        events.append((p.samples_done, p.fraction, p.pixels_raytraced))
+        assert p.pixels_count == 64 * 32
+        assert 0 < p.samples_done <= p.samples_total
+        preview = p.preview()
+        assert preview.shape == (32, 64, 3)
+        assert preview.dtype == np.uint8
+
+    img = r.render(on_progress=on_progress)
+    assert len(events) >= 2
+    done = [e[0] for e in events]
+    assert done == sorted(done)
+    assert events[-1][0] == 16
+    assert events[-1][1] == 1.0
+    assert r.pixels_raytraced == r.pixels_count
+    assert r.segments_traced > 0
+    assert r.render_time() > 0
+    assert r.mrays_per_sec() > 0
+    assert img.shape == (32, 64, 3)
+
+
+def test_final_preview_matches_render():
+    scene = _small_scene()
+    r = Renderer(scene, _params(), seed=3, max_rays_per_batch=2048)
+    previews = []
+    img = r.render(on_progress=lambda p: previews.append(p.preview()))
+    np.testing.assert_array_equal(previews[-1], img)
+
+
+def test_render_max_depth_zero_black():
+    r = Renderer(_small_scene(), _params(), seed=0)
+    img = r.render(max_depth=0)
+    np.testing.assert_array_equal(img, 0)
+
+
+def test_png_roundtrip(tmp_path):
+    cam, scene = make_world_basic()
+    r = Renderer(scene, _params(image_width=32, samples_per_pixel=2), seed=0)
+    img = r.render()
+    path = tmp_path / "out.png"
+    png.write_png(path, img)
+    back = png.read_png(path)
+    np.testing.assert_array_equal(back, img)
