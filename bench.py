@@ -1,0 +1,73 @@
+"""Benchmark: RTiOW cover-scene throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Workload (BASELINE.md throughput config, time-scaled): the 488-sphere cover
+scene at 1920x1080, shipped camera; Mrays/s counts actually-traced path
+segments (sum over bounces of alive rays -- the honest denominator, see
+SURVEY.md section 3.3 cost model). vs_baseline is the ratio against the
+500 Mrays/s/chip target from BASELINE.json (the reference itself publishes no
+numbers -- BASELINE.md).
+
+Usage: python bench.py [--spp N] [--depth N] [--width N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--warmup-spp", type=int, default=1)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import raytracing_tpu as rt
+
+    world = rt.load_world("data/config/world.config.json")
+    params = dataclasses.replace(
+        world.camera,
+        aspect_ratio=16.0 / 9.0,
+        image_width=args.width,
+        samples_per_pixel=args.spp,
+        max_depth=args.depth,
+    )
+    _, scene = rt.build_world(dataclasses.replace(world, camera=params))
+
+    renderer = rt.Renderer(scene, params, seed=0)
+    # Warmup: compile every wave shape once.
+    renderer.render(spp=args.warmup_spp)
+
+    renderer = rt.Renderer(scene, params, seed=0)
+    t0 = time.perf_counter()
+    renderer.render(spp=args.spp)
+    wall = time.perf_counter() - t0
+    segments = renderer.segments_traced
+    mrays = segments / wall / 1.0e6
+
+    target = 500.0  # Mrays/s/chip north star (BASELINE.json)
+    print(
+        json.dumps(
+            {
+                "metric": "cover_scene_throughput",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / target, 4),
+                "wall_s": round(wall, 3),
+                "segments": segments,
+                "config": f"{params.image_width}x{params.image_height}@{args.spp}spp depth{args.depth} 488 spheres",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

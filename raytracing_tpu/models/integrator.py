@@ -102,14 +102,18 @@ def trace_rays(
             return jnp.zeros((b, 3), jnp.float32), jnp.int32(0)
         return sky_color(directions), jnp.int32(b)
 
+    # Loop-carry inits are derived arithmetically from the (finite) ray inputs
+    # rather than fresh constants so their device-varying type matches the
+    # loop outputs under shard_map's varying-manual-axes check.
+    zero3 = origins * 0.0
     init = (
         origins,
         directions,
-        jnp.ones((b, 3), jnp.float32),   # throughput
-        jnp.zeros((b, 3), jnp.float32),  # radiance
-        jnp.ones((b,), bool),            # alive
-        jnp.int32(0),                    # bounce index
-        jnp.int32(0),                    # segments traced
+        zero3 + 1.0,                                  # throughput = 1
+        zero3,                                        # radiance = 0
+        zero3[:, 0] == 0.0,                           # alive = True
+        jnp.int32(0),                                 # bounce index
+        jnp.sum(zero3[:, 0]).astype(jnp.int32),       # segments traced = 0
     )
 
     def cond(state):
@@ -164,6 +168,7 @@ def render_pixels(
     spp: int,
     max_depth: int,
     *,
+    sample_limit: jnp.ndarray | None = None,
     use_matmul: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Trace ``chunk_samples`` samples for each pixel in ``pixel_ids``.
@@ -171,6 +176,12 @@ def render_pixels(
     Pure function (jit-friendly; ``chunk_samples``/``spp``/``max_depth``
     static). Global ray id = ``pixel_id * spp + sample_id`` so the result is
     invariant to chunking and sharding.
+
+    Args:
+      sample_limit: optional traced exclusive upper bound on sample ids;
+        samples at/above it contribute zero radiance (used by the sharded
+        path when a chunk doesn't divide evenly across the sample axis --
+        shapes stay static, the tail is masked).
 
     Returns ``(radiance_sum[P, 3], segments)``.
     """
@@ -188,5 +199,7 @@ def render_pixels(
     radiance, segments = trace_rays(
         scene, origins, directions, keys, max_depth, use_matmul=use_matmul
     )
+    if sample_limit is not None:
+        radiance = jnp.where((samp < sample_limit)[..., None], radiance, 0.0)
     radiance_sum = jnp.sum(radiance.reshape(p, chunk_samples, 3), axis=1)
     return radiance_sum, segments

@@ -40,6 +40,7 @@ import numpy as np
 from ..core import camera as rcamera
 from ..core import color as rcolor
 from ..models import integrator
+from ..parallel import shard as rshard
 from ..scene.types import Scene
 
 ProgressCallback = Callable[["RenderProgress"], None]
@@ -73,7 +74,11 @@ class RenderProgress:
         return self._preview()
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_samples", "spp", "max_depth", "use_matmul"), donate_argnums=(0,))
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_samples", "spp", "max_depth", "use_matmul", "mesh"),
+    donate_argnums=(0,),
+)
 def _accumulate_step(
     image_sum: jnp.ndarray,
     scene: Scene,
@@ -85,21 +90,37 @@ def _accumulate_step(
     spp: int,
     max_depth: int,
     use_matmul: bool,
+    mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One wave: trace (pixel block) x (sample chunk), scatter-add into the
     device framebuffer. ``image_sum`` has one trailing spill row so padded
-    pixel ids (== num_pixels) land harmlessly outside the image."""
-    rad_sum, segments = integrator.render_pixels(
-        scene,
-        cam,
-        base_key,
-        pixel_ids,
-        sample_start,
-        chunk_samples,
-        spp,
-        max_depth,
-        use_matmul=use_matmul,
-    )
+    pixel ids (== num_pixels) land harmlessly outside the image. With a mesh,
+    the wave is sharded over (px, spp) device axes."""
+    if mesh is None:
+        rad_sum, segments = integrator.render_pixels(
+            scene,
+            cam,
+            base_key,
+            pixel_ids,
+            sample_start,
+            chunk_samples,
+            spp,
+            max_depth,
+            use_matmul=use_matmul,
+        )
+    else:
+        rad_sum, segments = rshard.render_pixels_sharded(
+            scene,
+            cam,
+            base_key,
+            pixel_ids,
+            sample_start,
+            chunk_samples,
+            spp,
+            max_depth,
+            mesh,
+            use_matmul,
+        )
     image_sum = image_sum.at[pixel_ids].add(rad_sum)
     return image_sum, segments
 
@@ -121,6 +142,7 @@ class Renderer:
         seed: int = 0,
         max_rays_per_batch: int = 1 << 20,
         use_matmul: bool = True,
+        mesh=None,
     ) -> None:
         self.scene = scene
         self.params = camera_params
@@ -129,6 +151,7 @@ class Renderer:
         self.base_key = jr.key(seed)
         self.max_rays_per_batch = int(max_rays_per_batch)
         self.use_matmul = use_matmul
+        self.mesh = mesh
 
         self._samples_done = 0
         self._segments = 0
@@ -176,10 +199,14 @@ class Renderer:
         split samples first, pixels only when one-sample whole-image waves are
         still too large."""
         num_pixels = self.pixels_count
+        # With a mesh, pixel blocks must divide evenly over the px axis.
+        px_quantum = self.mesh.shape["px"] if self.mesh is not None else 1
         if num_pixels <= self.max_rays_per_batch:
             chunk_spp = max(1, min(spp, self.max_rays_per_batch // num_pixels))
-            return num_pixels, chunk_spp
-        return self.max_rays_per_batch, 1
+            block = -(-num_pixels // px_quantum) * px_quantum
+            return block, chunk_spp
+        block = (self.max_rays_per_batch // px_quantum) * px_quantum
+        return max(block, px_quantum), 1
 
     def render(
         self,
@@ -249,6 +276,7 @@ class Renderer:
                     spp,
                     max_depth,
                     self.use_matmul,
+                    self.mesh,
                 )
                 seg_handles.append(segments)
             sample_start += this_chunk

@@ -13,7 +13,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the TPU harness environment pre-sets
+# JAX_PLATFORMS=axon, and its sitecustomize additionally calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter startup --
+# so both the env var AND the config must be pinned back to cpu here.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+if _xb.backends_are_initialized():  # pragma: no cover
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
+assert jax.device_count() == 8, (
+    f"tests require the 8-device CPU platform, got {jax.devices()}"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,133 @@
+"""Multi-device sharding on the forced 8-device CPU platform (conftest.py).
+
+The key property: because sampling is keyed by global ray id, the sharded
+render draws EXACTLY the same sample set as the single-device render for every
+mesh shape -- the TPU-world statement of the reference's "tile order doesn't
+matter" (shuffled queue, main.cc:631-633). Radiance agrees to float ULP noise
+(each mesh shape compiles a different XLA program, so fma/fusion order
+differs); the quantized u8 image is allowed one code of difference."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from raytracing_tpu import CameraParameters, Renderer
+from raytracing_tpu.core import camera as rcamera
+from raytracing_tpu.models import integrator
+from raytracing_tpu.parallel import mesh as rmesh
+from raytracing_tpu.parallel import shard as rshard
+from raytracing_tpu.scene.types import SceneBuilder
+
+
+def _scene():
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5))
+    b.add_metallic_sphere((0.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.1)
+    b.add_dielectric_sphere((-1.1, 0.0, -1.0), 0.5, 1.5)
+    return b.build()
+
+
+def _params(**kw):
+    d = dict(
+        aspect_ratio=2.0,
+        image_width=64,
+        samples_per_pixel=8,
+        max_depth=6,
+        vertical_fov=60.0,
+        defocus_angle=0.0,
+        focus_distance=1.0,
+        lookfrom=(0.0, 0.0, 0.5),
+        lookat=(0.0, 0.0, -1.0),
+    )
+    d.update(kw)
+    return CameraParameters(**d)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+@pytest.mark.parametrize("sample_axis", [1, 2, 4, 8])
+def test_mesh_shapes(sample_axis):
+    m = rmesh.make_mesh(sample_axis=sample_axis)
+    assert m.shape["px"] * m.shape["spp"] == 8
+    assert m.shape["spp"] == sample_axis
+
+
+def test_mesh_bad_factor_raises():
+    with pytest.raises(ValueError):
+        rmesh.make_mesh(sample_axis=3)
+
+
+@pytest.mark.parametrize("sample_axis", [1, 2, 8])
+def test_sharded_equals_single_device(sample_axis):
+    """render_pixels_sharded == render_pixels (to ULP noise) for any split."""
+    scene = _scene()
+    cam = rcamera.derive(_params())
+    key = jr.key(11)
+    n_pix = 64 * 32
+    # Pixel count divisible by px axis (64*32 = 2048, divisible by 8).
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    spp, chunk, depth = 8, 8, 5
+
+    ref, ref_seg = integrator.render_pixels(
+        scene, cam, key, pixel_ids, jnp.int32(0), chunk, spp, depth
+    )
+
+    m = rmesh.make_mesh(sample_axis=sample_axis)
+    got, seg = rshard.render_pixels_sharded(
+        scene, cam, key, pixel_ids, jnp.int32(0), chunk, spp, depth, m
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+    # Segment counts agree when the sample chunk divides evenly (no masked
+    # tail rays traced for padding).
+    if chunk % sample_axis == 0:
+        assert int(seg) == int(ref_seg)
+
+
+def test_sharded_uneven_sample_chunk_masked_tail():
+    """chunk=5 over spp axis of 4: devices trace ceil(5/4)=2 samples each,
+    the 3 padding samples are masked -- radiance must still match exactly."""
+    scene = _scene()
+    cam = rcamera.derive(_params())
+    key = jr.key(3)
+    pixel_ids = jnp.arange(2048, dtype=jnp.int32)
+    ref, _ = integrator.render_pixels(
+        scene, cam, key, pixel_ids, jnp.int32(0), 5, 16, 4
+    )
+    m = rmesh.make_mesh(sample_axis=4)
+    got, _ = rshard.render_pixels_sharded(
+        scene, cam, key, pixel_ids, jnp.int32(0), 5, 16, 4, m
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("sample_axis", [1, 2])
+def test_full_renderer_with_mesh_bitwise(sample_axis):
+    """End-to-end Renderer on a mesh == Renderer on one device, within one
+    u8 quantization code (ULP-level float noise can flip a boundary pixel)."""
+    scene = _scene()
+    params = _params(samples_per_pixel=4, image_width=48)
+    img_single = Renderer(scene, params, seed=5).render()
+    m = rmesh.make_mesh(sample_axis=sample_axis)
+    img_mesh = Renderer(scene, params, seed=5, mesh=m).render()
+    diff = np.abs(img_single.astype(int) - img_mesh.astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01
+
+
+def test_renderer_mesh_with_pixel_padding():
+    """Image with pixel count NOT divisible by the px axis (49 wide)."""
+    scene = _scene()
+    params = _params(samples_per_pixel=2, image_width=49, aspect_ratio=49 / 31)
+    m = rmesh.make_mesh(sample_axis=2)  # px axis = 4; 49*31 = 1519 not /4
+    img_single = Renderer(scene, params, seed=2).render()
+    img_mesh = Renderer(scene, params, seed=2, mesh=m).render()
+    diff = np.abs(img_single.astype(int) - img_mesh.astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
