@@ -170,6 +170,9 @@ def render_pixels(
     *,
     sample_limit: jnp.ndarray | None = None,
     use_matmul: bool = True,
+    backend: str = "xla",
+    pallas_seed: jnp.ndarray | None = None,
+    tile_offset: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Trace ``chunk_samples`` samples for each pixel in ``pixel_ids``.
 
@@ -182,6 +185,13 @@ def render_pixels(
         samples at/above it contribute zero radiance (used by the sharded
         path when a chunk doesn't divide evenly across the sample axis --
         shapes stay static, the tail is masked).
+      backend: "xla" (wavefront while_loop, any platform) or "pallas" (fused
+        TPU megakernel; requires the ray count P*chunk_samples to be a
+        multiple of the kernel tile). Camera-ray sampling is identical for
+        both; the pallas bounce RNG uses the TPU core PRNG seeded by
+        (pallas_seed, tile_offset + local tile), so its noise differs from
+        the XLA path's threefry streams (statistically equivalent).
+      pallas_seed / tile_offset: int32 scalars, required for backend="pallas".
 
     Returns ``(radiance_sum[P, 3], segments)``.
     """
@@ -196,9 +206,21 @@ def render_pixels(
     py = pix // cam.image_width
     origins, directions = rcamera.generate_rays(cam, keys, px, py)
 
-    radiance, segments = trace_rays(
-        scene, origins, directions, keys, max_depth, use_matmul=use_matmul
-    )
+    if backend == "pallas":
+        from ..ops.pallas import trace as ptrace
+
+        radiance, segments = ptrace.trace_rays_fused(
+            scene,
+            origins,
+            directions,
+            pallas_seed if pallas_seed is not None else jnp.int32(0),
+            tile_offset if tile_offset is not None else jnp.int32(0),
+            max_depth,
+        )
+    else:
+        radiance, segments = trace_rays(
+            scene, origins, directions, keys, max_depth, use_matmul=use_matmul
+        )
     if sample_limit is not None:
         radiance = jnp.where((samp < sample_limit)[..., None], radiance, 0.0)
     radiance_sum = jnp.sum(radiance.reshape(p, chunk_samples, 3), axis=1)

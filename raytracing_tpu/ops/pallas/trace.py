@@ -1,0 +1,470 @@
+"""Fused Pallas megakernel: full path tracing of a ray tile in VMEM.
+
+This is the performance layer (SURVEY.md section 7, step 5) that replaces the
+XLA wavefront's HBM-bound (B, N) intermediates. One kernel program traces a
+tile of ``TILE`` rays through the ENTIRE bounce loop:
+
+  * rays live as (T, 128) register tiles (T = TILE/128) -- full VPU lane
+    utilization (the XLA path's (B, 3) arrays waste 125/128 lanes);
+  * the sphere scene sits in VMEM in TRANSPOSED (N_pad, 8) layout (spheres on
+    sublanes, attributes on lanes) so the intersection sweep is pure vector
+    work: each inner step broadcasts a 128-sphere block (128, 1) against a
+    128-ray group (1, 128) producing (128, 128) tiles -- no scalar loads in
+    the hot loop and no (B, N) HBM traffic at all;
+  * the closest-hit reduction is a per-block min over the sphere (sublane)
+    axis plus an index-of-min derived from an iota compare;
+  * the winning sphere's attributes are fetched with a mask-reduce "one-hot
+    gather" (rows == idx), again pure vector work;
+  * per-bounce RNG comes from the TPU core PRNG
+    (``pltpu.prng_seed`` / ``prng_random_bits``), seeded by
+    (seed, absolute-tile*depth+bounce) so results are deterministic and
+    chunk-invariant for a fixed tile size.
+
+Algorithm parity is with the reference recursion exactly as in
+``models/integrator.py`` (ray.tracer.core.cc:236-265, object.defs.cc:41-81,
+material.defs.cc:31-87); the RNG *streams* differ from the XLA wavefront path
+(TPU PRNG vs threefry), so the two integrators agree distributionally, not
+bitwise -- both match the reference within Monte-Carlo noise. On fully
+deterministic scenes (fuzz-0 metals) the two paths agree to float roundoff
+(tests/test_pallas.py).
+
+Layout contract (host wrapper ``trace_rays_fused`` handles packing):
+  rays_in   f32[6, R, 128]  rows ox,oy,oz,dx,dy,dz; R = B/128
+  geom_t    f32[N_pad, 8]   cols cx,cy,cz,radius,(|c|^2-r^2),1/r,0,0  (VMEM)
+  mats_t    f32[N_pad, 8]   cols alb_r,alb_g,alb_b,fuzz,ior,kind,0,0  (VMEM)
+  meta      i32[4]          [n_actual, seed, tile_offset, unused]     (SMEM)
+  out rad   f32[3, R, 128]  rows radiance r,g,b
+  out stats i32[tiles*8, 128]  per-tile traced-segment count (broadcast tile)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...scene.types import Scene
+
+# Rays per kernel program: 8 sublane-tiles of 128 lanes.
+DEFAULT_TILE_RAYS = 1024
+_SPHERE_BLOCK = 128  # spheres per inner block (sublane dim of the (S, R) tiles)
+
+_T_MIN = 1.0e-4          # hit interval lower bound (core.cc:243)
+_T_FAR = 3.0e38          # "no hit" sentinel (finite to keep arithmetic clean)
+_SELF_HIT_OFFSET = 1.0e-3  # see models/integrator.SELF_HIT_OFFSET
+_TWO_PI = 6.2831853071795864
+
+
+def _uniform01(shape):
+    """U[0,1) from the core PRNG: top 24 bits of the raw word.
+
+    ``prng_random_bits`` yields a SIGNED int32-typed word; bitcast to uint32
+    before the logical shift, then bitcast back so the int->float convert is
+    of a small non-negative int32 (Mosaic has no uint32->f32 convert).
+    """
+    raw = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(raw >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _trace_kernel(
+    meta_ref,      # SMEM i32[4]
+    geom_ref,      # VMEM f32[N_pad, 8]
+    mats_ref,      # VMEM f32[N_pad, 8]
+    rays_ref,      # VMEM f32[6, T, 128]
+    rad_ref,       # VMEM f32[3, T, 128]
+    stats_ref,     # VMEM i32[8, 128]
+    *,
+    n_pad: int,
+    max_depth: int,
+    tile_shape: tuple[int, int],
+):
+    n_actual = meta_ref[0]
+    seed = meta_ref[1]
+    tile_idx = meta_ref[2] + pl.program_id(0)
+    t_sub = tile_shape[0]
+    n_blocks = n_pad // _SPHERE_BLOCK
+
+    ox0 = rays_ref[0]
+    oy0 = rays_ref[1]
+    oz0 = rays_ref[2]
+    dx0 = rays_ref[3]
+    dy0 = rays_ref[4]
+    dz0 = rays_ref[5]
+
+    zero = jnp.zeros(tile_shape, jnp.float32)
+    one = zero + 1.0
+
+    # (S, R) block iota over the sphere (sublane) axis.
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (_SPHERE_BLOCK, 128), dimension=0
+    )
+
+    state = (
+        ox0, oy0, oz0, dx0, dy0, dz0,
+        one, one, one,          # throughput rgb
+        zero, zero, zero,       # radiance rgb
+        one,                    # alive mask as f32 (Mosaic can't carry i1
+                                # vectors through while_loop)
+        jnp.int32(0),           # bounce
+        jnp.int32(0),           # segments
+    )
+
+    def cond(state):
+        alive_f = state[12]
+        bounce = state[13]
+        return (bounce < max_depth) & (jnp.max(alive_f) > 0.5)
+
+    def body(state):
+        (ox, oy, oz, dx, dy, dz,
+         tpr, tpg, tpb, rr, rg, rb, alive_f, bounce, segments) = state
+
+        # Per-ray quadratic constants for this bounce.
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        d_dot_o = dx * ox + dy * oy + dz * oz
+        o_dot_o = ox * ox + oy * oy + oz * oz
+
+        # ---- closest hit: vectorized sweep over (sphere block, ray group) ----
+        t_rows = []
+        idx_rows = []
+        for g in range(t_sub):
+            dxg = dx[g : g + 1]
+            dyg = dy[g : g + 1]
+            dzg = dz[g : g + 1]
+            oxg = ox[g : g + 1]
+            oyg = oy[g : g + 1]
+            ozg = oz[g : g + 1]
+            ddo = d_dot_o[g : g + 1]
+            ooo = o_dot_o[g : g + 1]
+            ag = a[g : g + 1]
+            invag = inv_a[g : g + 1]
+
+            def blk_step(blk, carry, dxg=dxg, dyg=dyg, dzg=dzg, oxg=oxg,
+                         oyg=oyg, ozg=ozg, ddo=ddo, ooo=ooo, ag=ag,
+                         invag=invag):
+                t_b, i_b = carry
+                base = pl.multiple_of(blk * _SPHERE_BLOCK, _SPHERE_BLOCK)
+                cblk = geom_ref[pl.ds(base, _SPHERE_BLOCK), :]  # (S, 8)
+                cx = cblk[:, 0:1]
+                cy = cblk[:, 1:2]
+                cz = cblk[:, 2:3]
+                cm2 = cblk[:, 4:5]
+
+                # h = d.(c - o); cq = |o - c|^2 - r^2 (object.defs.cc:43-46)
+                h = cx * dxg + cy * dyg + cz * dzg - ddo          # (S, R)
+                cq = cm2 - 2.0 * (cx * oxg + cy * oyg + cz * ozg) + ooo
+                delta = h * h - ag * cq
+                sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+                r1 = (h - sq) * invag
+                r2 = (h + sq) * invag
+                root = jnp.where(r1 > _T_MIN, r1, r2)
+                sphere_ids = row_ids + base
+                okay = (
+                    (delta >= 0.0) & (root > _T_MIN) & (sphere_ids < n_actual)
+                )
+                tc = jnp.where(okay, root, _T_FAR)
+
+                # Block-min over the sphere axis + index of the winner.
+                t_min = jnp.min(tc, axis=0, keepdims=True)        # (1, R)
+                i_min = jnp.min(
+                    jnp.where(tc <= t_min, sphere_ids, jnp.int32(0x7FFFFFFF)),
+                    axis=0,
+                    keepdims=True,
+                )
+                upd = t_min < t_b
+                return jnp.where(upd, t_min, t_b), jnp.where(upd, i_min, i_b)
+
+            t_g, i_g = jax.lax.fori_loop(
+                0,
+                n_blocks,
+                blk_step,
+                (zero[0:1] + _T_FAR, jnp.zeros((1, 128), jnp.int32)),
+            )
+            t_rows.append(t_g)
+            idx_rows.append(i_g)
+
+        t_best = jnp.concatenate(t_rows, axis=0)        # (T, 128)
+        idx_best = jnp.concatenate(idx_rows, axis=0)    # (T, 128) int32
+        hitm = t_best < _T_FAR
+        t_safe = jnp.where(hitm, t_best, 0.0)
+
+        # ---- one-hot mask-reduce gather of the winning sphere's attributes --
+        galls = []
+        for g in range(t_sub):
+            idxg = idx_best[g : g + 1]  # (1, 128)
+
+            def gather_step(blk, accs, idxg=idxg):
+                base = pl.multiple_of(blk * _SPHERE_BLOCK, _SPHERE_BLOCK)
+                cblk = geom_ref[pl.ds(base, _SPHERE_BLOCK), :]
+                mblk = mats_ref[pl.ds(base, _SPHERE_BLOCK), :]
+                mask = ((row_ids + base) == idxg).astype(jnp.float32)  # (S, R)
+                vals = (
+                    cblk[:, 0:1], cblk[:, 1:2], cblk[:, 2:3], cblk[:, 5:6],
+                    mblk[:, 0:1], mblk[:, 1:2], mblk[:, 2:3], mblk[:, 3:4],
+                    mblk[:, 4:5], mblk[:, 5:6],
+                )
+                return tuple(
+                    acc + jnp.sum(mask * v, axis=0, keepdims=True)
+                    for acc, v in zip(accs, vals)
+                )
+
+            zero_row = jnp.zeros((1, 128), jnp.float32)
+            accs = jax.lax.fori_loop(
+                0, n_blocks, gather_step, (zero_row,) * 10
+            )
+            galls.append(accs)
+
+        (cxb, cyb, czb, invrb, albr, albg, albb, fuzzb, iorb, kindb) = (
+            jnp.concatenate([g[j] for g in galls], axis=0) for j in range(10)
+        )
+
+        # Hit point + front-face-corrected unit normal (object.defs.cc:11-18).
+        px = ox + t_safe * dx
+        py = oy + t_safe * dy
+        pz = oz + t_safe * dz
+        nx = (px - cxb) * invrb
+        ny = (py - cyb) * invrb
+        nz = (pz - czb) * invrb
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        front = d_dot_n < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx = nx * sgn
+        ny = ny * sgn
+        nz = nz * sgn
+
+        # Sky on miss (core.cc:254-256).
+        inv_len_d = jax.lax.rsqrt(a)
+        sky_t = 0.5 * (dy * inv_len_d + 1.0)
+        hit_f = jnp.where(hitm, 1.0, 0.0)
+        skyw = alive_f * (1.0 - hit_f)
+        rr = rr + skyw * tpr * (1.0 - sky_t + sky_t * 0.5)
+        rg = rg + skyw * tpg * (1.0 - sky_t + sky_t * 0.7)
+        rb = rb + skyw * tpb * (1.0 - sky_t + sky_t * 1.0)
+
+        # --- per-bounce RNG ---------------------------------------------------
+        # The TPU PRNG takes at most 2 seed words: pack (tile, bounce) into
+        # one. Streams stay distinct for tile_idx < 2^31 / (max_depth + 1).
+        pltpu.prng_seed(seed, tile_idx * jnp.int32(max_depth + 1) + bounce)
+        u1 = _uniform01(tile_shape)
+        u2 = _uniform01(tile_shape)
+        u3 = _uniform01(tile_shape)
+        # Uniform unit sphere direction: z = 2u-1, azimuth 2*pi*v.
+        uz = 2.0 * u1 - 1.0
+        us = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
+        theta = _TWO_PI * u2
+        ux = us * jnp.cos(theta)
+        uy = us * jnp.sin(theta)
+
+        # --- Lambertian (material.defs.cc:31-42) ------------------------------
+        ldx = nx + ux
+        ldy = ny + uy
+        ldz = nz + uz
+        tiny = (
+            (jnp.abs(ldx) < 1e-8) & (jnp.abs(ldy) < 1e-8) & (jnp.abs(ldz) < 1e-8)
+        )
+        ldx = jnp.where(tiny, nx, ldx)
+        ldy = jnp.where(tiny, ny, ldy)
+        ldz = jnp.where(tiny, nz, ldz)
+
+        # --- Metallic (material.defs.cc:44-55) --------------------------------
+        two_ddn = 2.0 * d_dot_n * sgn  # d.n with the corrected normal
+        rfx = dx - two_ddn * nx
+        rfy = dy - two_ddn * ny
+        rfz = dz - two_ddn * nz
+        inv_rf = jax.lax.rsqrt(
+            jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz, 1e-20)
+        )
+        mdx = rfx * inv_rf + fuzzb * ux
+        mdy = rfy * inv_rf + fuzzb * uy
+        mdz = rfz * inv_rf + fuzzb * uz
+        met_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+
+        # --- Dielectric (material.defs.cc:57-87) ------------------------------
+        eta = jnp.where(front, 1.0 / iorb, iorb)
+        udx = dx * inv_len_d
+        udy = dy * inv_len_d
+        udz = dz * inv_len_d
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot = (eta * sin_t) > 1.0
+        r0 = (1.0 - eta) / (1.0 + eta)
+        r0 = r0 * r0
+        omc = 1.0 - cos_t
+        omc2 = omc * omc
+        schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        choose_reflect = cannot | (schlick > u3)
+        # reflect(ud, n)
+        two_udn = 2.0 * (udx * nx + udy * ny + udz * nz)
+        rdx = udx - two_udn * nx
+        rdy = udy - two_udn * ny
+        rdz = udz - two_udn * nz
+        # refract(ud, n, eta)
+        ppx = eta * (udx + cos_t * nx)
+        ppy = eta * (udy + cos_t * ny)
+        ppz = eta * (udz + cos_t * nz)
+        k = 1.0 - (ppx * ppx + ppy * ppy + ppz * ppz)
+        par = -jnp.sqrt(jnp.abs(k))
+        tdx = ppx + par * nx
+        tdy = ppy + par * ny
+        tdz = ppz + par * nz
+        ddx = jnp.where(choose_reflect, rdx, tdx)
+        ddy = jnp.where(choose_reflect, rdy, tdy)
+        ddz = jnp.where(choose_reflect, rdz, tdz)
+
+        # --- blend by material kind (material.defs.cc:92-108) -----------------
+        is_lam = kindb < 0.5
+        is_met = (kindb >= 0.5) & (kindb < 1.5)
+        ndx = jnp.where(is_lam, ldx, jnp.where(is_met, mdx, ddx))
+        ndy = jnp.where(is_lam, ldy, jnp.where(is_met, mdy, ddy))
+        ndz = jnp.where(is_lam, ldz, jnp.where(is_met, mdz, ddz))
+        ok_f = jnp.where(is_met & ~met_ok, 0.0, 1.0)
+
+        surv_f = alive_f * hit_f * ok_f
+        survives = surv_f > 0.5
+        tpr = jnp.where(survives, tpr * albr, tpr)
+        tpg = jnp.where(survives, tpg * albg, tpg)
+        tpb = jnp.where(survives, tpb * albb, tpb)
+
+        # Restart offset along the side of the new direction (anti-acne,
+        # models/integrator.py SELF_HIT_OFFSET).
+        side = jnp.where((ndx * nx + ndy * ny + ndz * nz) >= 0.0, 1.0, -1.0)
+        eps = _SELF_HIT_OFFSET * side
+        ox = jnp.where(survives, px + eps * nx, ox)
+        oy = jnp.where(survives, py + eps * ny, oy)
+        oz = jnp.where(survives, pz + eps * nz, oz)
+        dx = jnp.where(survives, ndx, dx)
+        dy = jnp.where(survives, ndy, dy)
+        dz = jnp.where(survives, ndz, dz)
+
+        segments = segments + jnp.sum(alive_f).astype(jnp.int32)
+        return (
+            ox, oy, oz, dx, dy, dz,
+            tpr, tpg, tpb, rr, rg, rb,
+            surv_f, bounce + 1, segments,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    rad_ref[0] = state[9]
+    rad_ref[1] = state[10]
+    rad_ref[2] = state[11]
+    stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
+
+
+def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
+    """Scene -> (geom_t f32[N_pad, 8], mats_t f32[N_pad, 8], n_actual).
+
+    Transposed layout: spheres on sublanes, attributes on lanes, so the
+    kernel's sphere-block slices broadcast against ray rows without any
+    transposition. Padding spheres get radius 0 at a far-away center and are
+    masked by the ``sphere_id < n_actual`` test.
+    """
+    n = scene.num_objects
+    n_pad = max(-(-n // n_pad_multiple) * n_pad_multiple, n_pad_multiple)
+    pad = n_pad - n
+
+    centers = jnp.pad(scene.centers, ((0, pad), (0, 0)), constant_values=1.0e9)
+    radii = jnp.pad(scene.radii, (0, pad), constant_values=0.0)
+    cm2 = jnp.sum(centers * centers, axis=-1) - radii * radii
+    inv_r = jnp.where(radii > 0.0, 1.0 / jnp.maximum(radii, 1e-30), 0.0)
+    zcol = jnp.zeros_like(radii)
+    geom_t = jnp.stack(
+        [centers[:, 0], centers[:, 1], centers[:, 2], radii, cm2, inv_r,
+         zcol, zcol],
+        axis=1,
+    )
+
+    albedo = jnp.pad(scene.albedo, ((0, pad), (0, 0)), constant_values=0.0)
+    fuzz = jnp.pad(scene.fuzz, (0, pad), constant_values=0.0)
+    ior = jnp.pad(scene.ior, (0, pad), constant_values=1.0)
+    kind = jnp.pad(scene.mat_kind.astype(jnp.float32), (0, pad), constant_values=0.0)
+    mats_t = jnp.stack(
+        [albedo[:, 0], albedo[:, 1], albedo[:, 2], fuzz, ior, kind,
+         zcol, zcol],
+        axis=1,
+    )
+    return geom_t.astype(jnp.float32), mats_t.astype(jnp.float32), n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "tile_rays", "interpret"),
+)
+def trace_rays_fused(
+    scene: Scene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    seed: jnp.ndarray,
+    tile_offset: jnp.ndarray,
+    max_depth: int,
+    *,
+    tile_rays: int = DEFAULT_TILE_RAYS,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace ``B`` rays (B divisible by ``tile_rays``) with the megakernel.
+
+    Args:
+      seed: int32 scalar -- sampling stream id.
+      tile_offset: int32 scalar -- absolute index of the first tile (so a
+        chunked/sharded caller keeps globally-stable per-tile RNG streams).
+
+    Returns:
+      ``(radiance[B, 3], segments scalar int32)``.
+    """
+    b = origins.shape[0]
+    if b % tile_rays != 0:
+        raise ValueError(f"ray count {b} not divisible by tile_rays {tile_rays}")
+    num_tiles = b // tile_rays
+    t_sub = tile_rays // 128
+
+    geom_t, mats_t, n_actual = pack_scene(scene)
+    n_pad = geom_t.shape[0]
+
+    rays = jnp.concatenate([origins.T, directions.T], axis=0)  # (6, B)
+    rays = rays.reshape(6, b // 128, 128)
+
+    meta = jnp.array(
+        [n_actual, 0, 0, 0], jnp.int32
+    ).at[1].set(seed.astype(jnp.int32)).at[2].set(tile_offset.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _trace_kernel,
+        n_pad=n_pad,
+        max_depth=max_depth,
+        tile_shape=(t_sub, 128),
+    )
+
+    rad, stats = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mats_t
+            pl.BlockSpec(
+                (6, t_sub, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (3, t_sub, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, b // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, geom_t, mats_t, rays)
+
+    radiance = rad.reshape(3, b).T
+    segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])
+    return radiance, segments

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import time
 from typing import Callable
 
@@ -76,7 +77,9 @@ class RenderProgress:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_samples", "spp", "max_depth", "use_matmul", "mesh"),
+    static_argnames=(
+        "chunk_samples", "spp", "max_depth", "use_matmul", "mesh", "backend",
+    ),
     donate_argnums=(0,),
 )
 def _accumulate_step(
@@ -91,6 +94,9 @@ def _accumulate_step(
     max_depth: int,
     use_matmul: bool,
     mesh=None,
+    backend: str = "xla",
+    pallas_seed: jnp.ndarray | None = None,
+    tile_offset: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One wave: trace (pixel block) x (sample chunk), scatter-add into the
     device framebuffer. ``image_sum`` has one trailing spill row so padded
@@ -107,6 +113,9 @@ def _accumulate_step(
             spp,
             max_depth,
             use_matmul=use_matmul,
+            backend=backend,
+            pallas_seed=pallas_seed,
+            tile_offset=tile_offset,
         )
     else:
         rad_sum, segments = rshard.render_pixels_sharded(
@@ -143,6 +152,7 @@ class Renderer:
         max_rays_per_batch: int = 1 << 20,
         use_matmul: bool = True,
         mesh=None,
+        backend: str = "auto",
     ) -> None:
         self.scene = scene
         self.params = camera_params
@@ -152,6 +162,17 @@ class Renderer:
         self.max_rays_per_batch = int(max_rays_per_batch)
         self.use_matmul = use_matmul
         self.mesh = mesh
+        if backend == "auto":
+            # Fused Pallas megakernel on TPU; portable XLA wavefront elsewhere.
+            platform = jax.devices()[0].platform
+            backend = "pallas" if platform in ("tpu", "axon") else "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and mesh is not None:
+            # Sharded pallas plumbing lands with multi-chip hardware testing;
+            # the sharded path currently runs the portable integrator.
+            backend = "xla"
+        self.backend = backend
 
         self._samples_done = 0
         self._segments = 0
@@ -199,8 +220,14 @@ class Renderer:
         split samples first, pixels only when one-sample whole-image waves are
         still too large."""
         num_pixels = self.pixels_count
-        # With a mesh, pixel blocks must divide evenly over the px axis.
+        # With a mesh, pixel blocks must divide evenly over the px axis; the
+        # pallas kernel additionally needs pixel_block to be a multiple of its
+        # ray tile (so pixel_block * chunk_spp is tile-aligned).
         px_quantum = self.mesh.shape["px"] if self.mesh is not None else 1
+        if self.backend == "pallas":
+            from ..ops.pallas.trace import DEFAULT_TILE_RAYS
+
+            px_quantum = math.lcm(px_quantum, DEFAULT_TILE_RAYS)
         if num_pixels <= self.max_rays_per_batch:
             chunk_spp = max(1, min(spp, self.max_rays_per_batch // num_pixels))
             block = -(-num_pixels // px_quantum) * px_quantum
@@ -262,6 +289,8 @@ class Renderer:
         seg_handles: list[jnp.ndarray] = []
         chunk_index = 0
         sample_start = 0
+        tiles_so_far = 0
+        pallas_seed = jnp.int32(self.seed & 0x7FFFFFFF)
         while sample_start < spp:
             this_chunk = min(chunk_spp, spp - sample_start)
             for ids in id_blocks:
@@ -277,8 +306,12 @@ class Renderer:
                     max_depth,
                     self.use_matmul,
                     self.mesh,
+                    self.backend,
+                    pallas_seed,
+                    jnp.int32(tiles_so_far),
                 )
                 seg_handles.append(segments)
+                tiles_so_far += (len(ids) * this_chunk) // 1024
             sample_start += this_chunk
             self._samples_done = sample_start
             chunk_index += 1
