@@ -196,32 +196,48 @@ def render_pixels(
     Returns ``(radiance_sum[P, 3], segments)``.
     """
     p = pixel_ids.shape[0]
-    sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)  # (S,)
-    pix = jnp.repeat(pixel_ids, chunk_samples)          # (P*S,)
-    samp = jnp.tile(sample_ids, p)                      # (P*S,)
-    global_ids = pix * spp + samp
-
-    keys = rrng.ray_keys(base_key, global_ids)
-    px = pix % cam.image_width
-    py = pix // cam.image_width
-    origins, directions = rcamera.generate_rays(cam, keys, px, py)
 
     if backend == "pallas":
+        # Fully fused wave: camera sampling + tracing in one kernel. Pixel
+        # ids must be a contiguous range starting at pixel_ids[0] (the
+        # renderer's wave layout; padded tail ids spill past the image and
+        # are discarded by the caller's scatter-add).
         from ..ops.pallas import trace as ptrace
 
-        radiance, segments = ptrace.trace_rays_fused(
+        radiance, segments = ptrace.render_camera_fused(
             scene,
-            origins,
-            directions,
+            cam.pixel00,
+            cam.pixel_delta_u,
+            cam.pixel_delta_v,
+            cam.center,
+            cam.defocus_disk_u,
+            cam.defocus_disk_v,
+            cam.defocus_angle,
+            cam.image_width,
+            pixel_ids[0],
             pallas_seed if pallas_seed is not None else jnp.int32(0),
             tile_offset if tile_offset is not None else jnp.int32(0),
+            p * chunk_samples,
+            chunk_samples,
             max_depth,
         )
     else:
+        sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)
+        pix = jnp.repeat(pixel_ids, chunk_samples)          # (P*S,)
+        samp = jnp.tile(sample_ids, p)                      # (P*S,)
+        global_ids = pix * spp + samp
+
+        keys = rrng.ray_keys(base_key, global_ids)
+        px = pix % cam.image_width
+        py = pix // cam.image_width
+        origins, directions = rcamera.generate_rays(cam, keys, px, py)
+
         radiance, segments = trace_rays(
             scene, origins, directions, keys, max_depth, use_matmul=use_matmul
         )
     if sample_limit is not None:
-        radiance = jnp.where((samp < sample_limit)[..., None], radiance, 0.0)
+        sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)
+        samp_mask = jnp.tile(sample_ids, p) < sample_limit
+        radiance = jnp.where(samp_mask[..., None], radiance, 0.0)
     radiance_sum = jnp.sum(radiance.reshape(p, chunk_samples, 3), axis=1)
     return radiance_sum, segments

@@ -71,32 +71,85 @@ def _uniform01(shape):
 
 
 def _trace_kernel(
-    meta_ref,      # SMEM i32[4]
+    meta_ref,      # SMEM i32[6]: n_actual, seed, tile_offset, width, pix_base
+    cam_ref,       # SMEM f32[20]: camera frame (camera_mode only; else zeros)
     geom_ref,      # VMEM f32[N_pad, 8]
     mats_ref,      # VMEM f32[N_pad, 8]
-    rays_ref,      # VMEM f32[6, T, 128]
-    rad_ref,       # VMEM f32[3, T, 128]
-    stats_ref,     # VMEM i32[8, 128]
+    rays_ref,      # VMEM f32[6, T, 128] (present only when not camera_mode)
+    rad_ref=None,  # VMEM f32[3, T, 128]
+    stats_ref=None,  # VMEM i32[8, 128]
     *,
     n_pad: int,
     max_depth: int,
     tile_shape: tuple[int, int],
+    camera_mode: bool = False,
+    chunk_samples: int = 1,
 ):
+    if camera_mode:
+        rad_ref, stats_ref = rays_ref, rad_ref  # shift: no rays input
+        rays_ref = None
     n_actual = meta_ref[0]
     seed = meta_ref[1]
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
     n_blocks = n_pad // _SPHERE_BLOCK
 
-    ox0 = rays_ref[0]
-    oy0 = rays_ref[1]
-    oz0 = rays_ref[2]
-    dx0 = rays_ref[3]
-    dy0 = rays_ref[4]
-    dz0 = rays_ref[5]
-
     zero = jnp.zeros(tile_shape, jnp.float32)
     one = zero + 1.0
+
+    if camera_mode:
+        # ---- in-kernel thin-lens camera ray generation -------------------
+        # (batched get_ray, ray.tracer.core.cc:218-234). Pixel ids are the
+        # contiguous range pix_base + ray_offset // chunk_samples; all float
+        # index math is exact for ids < 2^23.
+        width_f = meta_ref[3].astype(jnp.float32)
+        pix_base_f = meta_ref[4].astype(jnp.float32)
+        off = (
+            jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1)
+            + pl.program_id(0) * (t_sub * 128)
+        ).astype(jnp.float32)
+        if chunk_samples == 1:
+            pid = pix_base_f + off
+        else:
+            pid = pix_base_f + jnp.floor(
+                (off + 0.5) * jnp.float32(1.0 / chunk_samples)
+            )
+        pyf = jnp.floor((pid + 0.5) / width_f)
+        pxf = pid - pyf * width_f
+
+        # Camera RNG stream: the (max_depth)'th sub-stream of this tile
+        # (bounces use 0..max_depth-1).
+        pltpu.prng_seed(
+            seed, tile_idx * jnp.int32(max_depth + 1) + jnp.int32(max_depth)
+        )
+        j1 = _uniform01(tile_shape) - 0.5
+        j2 = _uniform01(tile_shape) - 0.5
+        u3 = _uniform01(tile_shape)
+        u4 = _uniform01(tile_shape)
+        dr = jnp.sqrt(u3)
+        dth = _TWO_PI * u4
+        lens_u = dr * jnp.cos(dth)
+        lens_v = dr * jnp.sin(dth)
+
+        fx = pxf + j1
+        fy = pyf + j2
+        use_disk = cam_ref[18] > 0.0  # defocus_angle (core.cc:228)
+        lens_u = jnp.where(use_disk, lens_u, 0.0)
+        lens_v = jnp.where(use_disk, lens_v, 0.0)
+        ox0 = cam_ref[9] + lens_u * cam_ref[12] + lens_v * cam_ref[15]
+        oy0 = cam_ref[10] + lens_u * cam_ref[13] + lens_v * cam_ref[16]
+        oz0 = cam_ref[11] + lens_u * cam_ref[14] + lens_v * cam_ref[17]
+        dx0 = cam_ref[0] + fx * cam_ref[3] + fy * cam_ref[6] - ox0
+        dy0 = cam_ref[1] + fx * cam_ref[4] + fy * cam_ref[7] - oy0
+        dz0 = cam_ref[2] + fx * cam_ref[5] + fy * cam_ref[8] - oz0
+    else:
+        ox0 = rays_ref[0]
+        oy0 = rays_ref[1]
+        oz0 = rays_ref[2]
+        dx0 = rays_ref[3]
+        dy0 = rays_ref[4]
+        dz0 = rays_ref[5]
 
     # (S, R) block iota over the sphere (sublane) axis.
     row_ids = jax.lax.broadcasted_iota(
@@ -426,9 +479,12 @@ def trace_rays_fused(
     rays = jnp.concatenate([origins.T, directions.T], axis=0)  # (6, B)
     rays = rays.reshape(6, b // 128, 128)
 
-    meta = jnp.array(
-        [n_actual, 0, 0, 0], jnp.int32
-    ).at[1].set(seed.astype(jnp.int32)).at[2].set(tile_offset.astype(jnp.int32))
+    meta = (
+        jnp.array([n_actual, 0, 0, 0, 0, 0], jnp.int32)
+        .at[1].set(seed.astype(jnp.int32))
+        .at[2].set(tile_offset.astype(jnp.int32))
+    )
+    cam_zeros = jnp.zeros((20,), jnp.float32)
 
     kernel = functools.partial(
         _trace_kernel,
@@ -442,6 +498,7 @@ def trace_rays_fused(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam (unused)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_t
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mats_t
             pl.BlockSpec(
@@ -463,7 +520,109 @@ def trace_rays_fused(
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, geom_t, mats_t, rays)
+    )(meta, cam_zeros, geom_t, mats_t, rays)
+
+    radiance = rad.reshape(3, b).T
+    segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])
+    return radiance, segments
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_rays", "chunk_samples", "max_depth", "tile_rays", "interpret",
+    ),
+)
+def render_camera_fused(
+    scene: Scene,
+    pixel00: jnp.ndarray,
+    pixel_delta_u: jnp.ndarray,
+    pixel_delta_v: jnp.ndarray,
+    center: jnp.ndarray,
+    defocus_disk_u: jnp.ndarray,
+    defocus_disk_v: jnp.ndarray,
+    defocus_angle: jnp.ndarray,
+    image_width: jnp.ndarray,
+    pix_base: jnp.ndarray,
+    seed: jnp.ndarray,
+    tile_offset: jnp.ndarray,
+    num_rays: int,
+    chunk_samples: int,
+    max_depth: int,
+    *,
+    tile_rays: int = DEFAULT_TILE_RAYS,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully fused wave: camera ray generation + path trace in one kernel.
+
+    Ray ``i`` (of ``num_rays``) samples pixel ``pix_base + i // chunk_samples``
+    -- the renderer's contiguous pixel-major wave layout -- with thin-lens
+    jitter drawn from the per-tile camera RNG stream. Removes all per-ray HBM
+    input traffic (the rays never exist outside VMEM).
+
+    Returns ``(radiance[num_rays, 3], segments scalar int32)``.
+    """
+    b = num_rays
+    if b % tile_rays != 0:
+        raise ValueError(f"ray count {b} not divisible by tile_rays {tile_rays}")
+    num_tiles = b // tile_rays
+    t_sub = tile_rays // 128
+
+    geom_t, mats_t, n_actual = pack_scene(scene)
+    n_pad = geom_t.shape[0]
+
+    meta = (
+        jnp.array([n_actual, 0, 0, 0, 0, 0], jnp.int32)
+        .at[1].set(seed.astype(jnp.int32))
+        .at[2].set(tile_offset.astype(jnp.int32))
+        .at[3].set(jnp.asarray(image_width, jnp.int32))
+        .at[4].set(pix_base.astype(jnp.int32))
+    )
+    cam_vec = jnp.concatenate(
+        [
+            jnp.asarray(pixel00, jnp.float32),
+            jnp.asarray(pixel_delta_u, jnp.float32),
+            jnp.asarray(pixel_delta_v, jnp.float32),
+            jnp.asarray(center, jnp.float32),
+            jnp.asarray(defocus_disk_u, jnp.float32),
+            jnp.asarray(defocus_disk_v, jnp.float32),
+            jnp.asarray(defocus_angle, jnp.float32).reshape(1),
+            jnp.zeros((1,), jnp.float32),
+        ]
+    )
+
+    kernel = functools.partial(
+        _trace_kernel,
+        n_pad=n_pad,
+        max_depth=max_depth,
+        tile_shape=(t_sub, 128),
+        camera_mode=True,
+        chunk_samples=chunk_samples,
+    )
+
+    rad, stats = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mats_t
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (3, t_sub, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, b // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, cam_vec, geom_t, mats_t)
 
     radiance = rad.reshape(3, b).T
     segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])
