@@ -173,6 +173,8 @@ def render_pixels(
     backend: str = "xla",
     pallas_seed: jnp.ndarray | None = None,
     tile_offset: jnp.ndarray | None = None,
+    pixel_order: str = "linear",
+    slot_base: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Trace ``chunk_samples`` samples for each pixel in ``pixel_ids``.
 
@@ -198,11 +200,22 @@ def render_pixels(
     p = pixel_ids.shape[0]
 
     if backend == "pallas":
-        # Fully fused wave: camera sampling + tracing in one kernel. Pixel
-        # ids must be a contiguous range starting at pixel_ids[0] (the
-        # renderer's wave layout; padded tail ids spill past the image and
-        # are discarded by the caller's scatter-add).
+        # Fully fused wave: camera sampling + tracing in one kernel. The
+        # kernel regenerates the pixel for each work slot itself:
+        # "linear" -> pid = slot (pixel_ids must be the contiguous range
+        # starting at pixel_ids[0]); "tiled" -> 32x32 pixel tiles matching
+        # runtime/tiling.tiled_pixel_ids (pixel_ids must be that table's
+        # slice starting at slot_base). Padded/out-of-image slots spill past
+        # the image and are discarded by the caller's scatter-add.
         from ..ops.pallas import trace as ptrace
+        from ..runtime import tiling as rtiling
+
+        if pixel_order == "tiled":
+            map_param = rtiling.tiles_per_row(cam.image_width)
+            base = slot_base if slot_base is not None else jnp.int32(0)
+        else:
+            map_param = cam.image_width
+            base = pixel_ids[0]
 
         radiance, segments = ptrace.render_camera_fused(
             scene,
@@ -213,13 +226,14 @@ def render_pixels(
             cam.defocus_disk_u,
             cam.defocus_disk_v,
             cam.defocus_angle,
-            cam.image_width,
-            pixel_ids[0],
+            map_param,
+            base,
             pallas_seed if pallas_seed is not None else jnp.int32(0),
             tile_offset if tile_offset is not None else jnp.int32(0),
             p * chunk_samples,
             chunk_samples,
             max_depth,
+            pixel_order=pixel_order,
         )
     else:
         sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)

@@ -50,7 +50,10 @@ from ...scene.types import Scene
 
 # Rays per kernel program: 8 sublane-tiles of 128 lanes.
 DEFAULT_TILE_RAYS = 1024
-_SPHERE_BLOCK = 128  # spheres per inner block (sublane dim of the (S, R) tiles)
+# Spheres per inner block (sublane dim of the (S, R) tiles). Small blocks
+# give the per-block bounding-sphere cull finer granularity; 32 sublanes is
+# still a whole number of (8, 128) vregs.
+_SPHERE_BLOCK = 128
 
 _T_MIN = 1.0e-4          # hit interval lower bound (core.cc:243)
 _T_FAR = 3.0e38          # "no hit" sentinel (finite to keep arithmetic clean)
@@ -71,10 +74,11 @@ def _uniform01(shape):
 
 
 def _trace_kernel(
-    meta_ref,      # SMEM i32[6]: n_actual, seed, tile_offset, width, pix_base
+    meta_ref,      # SMEM i32[6]: n_actual, seed, tile_offset, base-map, base
     cam_ref,       # SMEM f32[20]: camera frame (camera_mode only; else zeros)
     geom_ref,      # VMEM f32[N_pad, 8]
     mats_ref,      # VMEM f32[N_pad, 8]
+    bounds_ref,    # SMEM f32[n_blocks, 8]: per-block bounding spheres
     rays_ref,      # VMEM f32[6, T, 128] (present only when not camera_mode)
     rad_ref=None,  # VMEM f32[3, T, 128]
     stats_ref=None,  # VMEM i32[8, 128]
@@ -84,6 +88,7 @@ def _trace_kernel(
     tile_shape: tuple[int, int],
     camera_mode: bool = False,
     chunk_samples: int = 1,
+    pixel_order: str = "linear",
 ):
     if camera_mode:
         rad_ref, stats_ref = rays_ref, rad_ref  # shift: no rays input
@@ -99,24 +104,37 @@ def _trace_kernel(
 
     if camera_mode:
         # ---- in-kernel thin-lens camera ray generation -------------------
-        # (batched get_ray, ray.tracer.core.cc:218-234). Pixel ids are the
-        # contiguous range pix_base + ray_offset // chunk_samples; all float
-        # index math is exact for ids < 2^23.
-        width_f = meta_ref[3].astype(jnp.float32)
-        pix_base_f = meta_ref[4].astype(jnp.float32)
+        # (batched get_ray, ray.tracer.core.cc:218-234). Work slot =
+        # base + ray_offset // chunk_samples; the slot -> pixel map is either
+        # "linear" (pid = slot; px/py by division) or "tiled" (32x32 pixel
+        # tiles, runtime/tiling.py -- MUST match tiled_pixel_ids). All float
+        # index math is exact for slots < 2^23.
+        map_param = meta_ref[3].astype(jnp.float32)  # width | tiles_per_row
+        base_f = meta_ref[4].astype(jnp.float32)
         off = (
             jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0) * 128
             + jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1)
             + pl.program_id(0) * (t_sub * 128)
         ).astype(jnp.float32)
         if chunk_samples == 1:
-            pid = pix_base_f + off
+            slot = base_f + off
         else:
-            pid = pix_base_f + jnp.floor(
+            slot = base_f + jnp.floor(
                 (off + 0.5) * jnp.float32(1.0 / chunk_samples)
             )
-        pyf = jnp.floor((pid + 0.5) / width_f)
-        pxf = pid - pyf * width_f
+        if pixel_order == "tiled":
+            # runtime/tiling.py mapping (TILE_W = TILE_H = 32).
+            tile_id = jnp.floor((slot + 0.5) * jnp.float32(1.0 / 1024.0))
+            within = slot - tile_id * 1024.0
+            wy = jnp.floor((within + 0.5) * jnp.float32(1.0 / 32.0))
+            wx = within - wy * 32.0
+            ty = jnp.floor((tile_id + 0.5) / map_param)
+            tx = tile_id - ty * map_param
+            pxf = tx * 32.0 + wx
+            pyf = ty * 32.0 + wy
+        else:
+            pyf = jnp.floor((slot + 0.5) / map_param)
+            pxf = slot - pyf * map_param
 
         # Camera RNG stream: the (max_depth)'th sub-stream of this tile
         # (bounces use 0..max_depth-1).
@@ -181,99 +199,138 @@ def _trace_kernel(
         d_dot_o = dx * ox + dy * oy + dz * oz
         o_dot_o = ox * ox + oy * oy + oz * oz
 
-        # ---- closest hit: vectorized sweep over (sphere block, ray group) ----
-        t_rows = []
-        idx_rows = []
-        for g in range(t_sub):
-            dxg = dx[g : g + 1]
-            dyg = dy[g : g + 1]
-            dzg = dz[g : g + 1]
-            oxg = ox[g : g + 1]
-            oyg = oy[g : g + 1]
-            ozg = oz[g : g + 1]
-            ddo = d_dot_o[g : g + 1]
-            ooo = o_dot_o[g : g + 1]
-            ag = a[g : g + 1]
-            invag = inv_a[g : g + 1]
+        # ---- closest hit: block-outer sweep with a tile-wide conservative
+        # bounding-sphere cull. One (T, 128) full-utilization test per sphere
+        # block decides whether ANY live ray's interval [T_MIN, current-best)
+        # can intersect the block's bounding sphere; only then does the
+        # (sphere x ray-group) fine sweep run.
+        def blk_step(blk, carry):
+            t_b, i_b = carry  # (T, 128) each
+            base = pl.multiple_of(blk * _SPHERE_BLOCK, _SPHERE_BLOCK)
 
-            def blk_step(blk, carry, dxg=dxg, dyg=dyg, dzg=dzg, oxg=oxg,
-                         oyg=oyg, ozg=ozg, ddo=ddo, ooo=ooo, ag=ag,
-                         invag=invag):
+            bcx = bounds_ref[blk, 0]
+            bcy = bounds_ref[blk, 1]
+            bcz = bounds_ref[blk, 2]
+            brad = bounds_ref[blk, 3]
+            hb = bcx * dx + bcy * dy + bcz * dz - d_dot_o          # (T, 128)
+            cb = (
+                (bcx * bcx + bcy * bcy + bcz * bcz)
+                - 2.0 * (bcx * ox + bcy * oy + bcz * oz)
+                + o_dot_o
+                - brad * brad
+            )
+            deltab = hb * hb - a * cb
+            sqb = jnp.sqrt(jnp.maximum(deltab, 0.0))
+            nearb = (hb - sqb) * inv_a
+            farb = (hb + sqb) * inv_a
+            could_hit = jnp.any(
+                (deltab >= 0.0)
+                & (farb > _T_MIN)
+                & (nearb < t_b)
+                & (alive_f > 0.5)
+            )
+
+            def full_test(carry):
                 t_b, i_b = carry
-                base = pl.multiple_of(blk * _SPHERE_BLOCK, _SPHERE_BLOCK)
                 cblk = geom_ref[pl.ds(base, _SPHERE_BLOCK), :]  # (S, 8)
                 cx = cblk[:, 0:1]
                 cy = cblk[:, 1:2]
                 cz = cblk[:, 2:3]
                 cm2 = cblk[:, 4:5]
-
-                # h = d.(c - o); cq = |o - c|^2 - r^2 (object.defs.cc:43-46)
-                h = cx * dxg + cy * dyg + cz * dzg - ddo          # (S, R)
-                cq = cm2 - 2.0 * (cx * oxg + cy * oyg + cz * ozg) + ooo
-                delta = h * h - ag * cq
-                sq = jnp.sqrt(jnp.maximum(delta, 0.0))
-                r1 = (h - sq) * invag
-                r2 = (h + sq) * invag
-                root = jnp.where(r1 > _T_MIN, r1, r2)
                 sphere_ids = row_ids + base
-                okay = (
-                    (delta >= 0.0) & (root > _T_MIN) & (sphere_ids < n_actual)
+
+                t_rows = []
+                i_rows = []
+                for g in range(t_sub):
+                    # h = d.(c-o); cq = |o-c|^2 - r^2 (object.defs.cc:43-46)
+                    h = (
+                        cx * dx[g : g + 1]
+                        + cy * dy[g : g + 1]
+                        + cz * dz[g : g + 1]
+                        - d_dot_o[g : g + 1]
+                    )                                              # (S, R)
+                    cq = (
+                        cm2
+                        - 2.0 * (
+                            cx * ox[g : g + 1]
+                            + cy * oy[g : g + 1]
+                            + cz * oz[g : g + 1]
+                        )
+                        + o_dot_o[g : g + 1]
+                    )
+                    delta = h * h - a[g : g + 1] * cq
+                    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+                    r1 = (h - sq) * inv_a[g : g + 1]
+                    r2 = (h + sq) * inv_a[g : g + 1]
+                    root = jnp.where(r1 > _T_MIN, r1, r2)
+                    okay = (
+                        (delta >= 0.0)
+                        & (root > _T_MIN)
+                        & (sphere_ids < n_actual)
+                    )
+                    tc = jnp.where(okay, root, _T_FAR)
+
+                    # Block-min over the sphere axis + index of the winner.
+                    t_min = jnp.min(tc, axis=0, keepdims=True)     # (1, R)
+                    i_min = jnp.min(
+                        jnp.where(
+                            tc <= t_min, sphere_ids, jnp.int32(0x7FFFFFFF)
+                        ),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    upd = t_min < t_b[g : g + 1]
+                    t_rows.append(jnp.where(upd, t_min, t_b[g : g + 1]))
+                    i_rows.append(jnp.where(upd, i_min, i_b[g : g + 1]))
+                return (
+                    jnp.concatenate(t_rows, axis=0),
+                    jnp.concatenate(i_rows, axis=0),
                 )
-                tc = jnp.where(okay, root, _T_FAR)
 
-                # Block-min over the sphere axis + index of the winner.
-                t_min = jnp.min(tc, axis=0, keepdims=True)        # (1, R)
-                i_min = jnp.min(
-                    jnp.where(tc <= t_min, sphere_ids, jnp.int32(0x7FFFFFFF)),
-                    axis=0,
-                    keepdims=True,
-                )
-                upd = t_min < t_b
-                return jnp.where(upd, t_min, t_b), jnp.where(upd, i_min, i_b)
+            return jax.lax.cond(could_hit, full_test, lambda c: c, carry)
 
-            t_g, i_g = jax.lax.fori_loop(
-                0,
-                n_blocks,
-                blk_step,
-                (zero[0:1] + _T_FAR, jnp.zeros((1, 128), jnp.int32)),
-            )
-            t_rows.append(t_g)
-            idx_rows.append(i_g)
-
-        t_best = jnp.concatenate(t_rows, axis=0)        # (T, 128)
-        idx_best = jnp.concatenate(idx_rows, axis=0)    # (T, 128) int32
+        t_best, idx_best = jax.lax.fori_loop(
+            0,
+            n_blocks,
+            blk_step,
+            (zero + _T_FAR, jnp.zeros(tile_shape, jnp.int32)),
+        )
         hitm = t_best < _T_FAR
         t_safe = jnp.where(hitm, t_best, 0.0)
 
         # ---- one-hot mask-reduce gather of the winning sphere's attributes --
-        galls = []
-        for g in range(t_sub):
-            idxg = idx_best[g : g + 1]  # (1, 128)
+        def gather_step(blk, accs):
+            base = pl.multiple_of(blk * _SPHERE_BLOCK, _SPHERE_BLOCK)
+            in_block = jnp.any(
+                hitm & (idx_best >= base) & (idx_best < base + _SPHERE_BLOCK)
+            )
 
-            def gather_step(blk, accs, idxg=idxg):
-                base = pl.multiple_of(blk * _SPHERE_BLOCK, _SPHERE_BLOCK)
+            def do_gather(accs):
                 cblk = geom_ref[pl.ds(base, _SPHERE_BLOCK), :]
                 mblk = mats_ref[pl.ds(base, _SPHERE_BLOCK), :]
-                mask = ((row_ids + base) == idxg).astype(jnp.float32)  # (S, R)
                 vals = (
                     cblk[:, 0:1], cblk[:, 1:2], cblk[:, 2:3], cblk[:, 5:6],
                     mblk[:, 0:1], mblk[:, 1:2], mblk[:, 2:3], mblk[:, 3:4],
                     mblk[:, 4:5], mblk[:, 5:6],
                 )
-                return tuple(
-                    acc + jnp.sum(mask * v, axis=0, keepdims=True)
-                    for acc, v in zip(accs, vals)
-                )
+                news = [[] for _ in range(10)]
+                for g in range(t_sub):
+                    mask = (
+                        (row_ids + base) == idx_best[g : g + 1]
+                    ).astype(jnp.float32)
+                    for j, v in enumerate(vals):
+                        news[j].append(
+                            accs[j][g : g + 1]
+                            + jnp.sum(mask * v, axis=0, keepdims=True)
+                        )
+                return tuple(jnp.concatenate(n, axis=0) for n in news)
 
-            zero_row = jnp.zeros((1, 128), jnp.float32)
-            accs = jax.lax.fori_loop(
-                0, n_blocks, gather_step, (zero_row,) * 10
-            )
-            galls.append(accs)
+            return jax.lax.cond(in_block, do_gather, lambda a: a, accs)
 
-        (cxb, cyb, czb, invrb, albr, albg, albb, fuzzb, iorb, kindb) = (
-            jnp.concatenate([g[j] for g in galls], axis=0) for j in range(10)
+        accs = jax.lax.fori_loop(
+            0, n_blocks, gather_step, (zero,) * 10
         )
+        (cxb, cyb, czb, invrb, albr, albg, albb, fuzzb, iorb, kindb) = accs
 
         # Hit point + front-face-corrected unit normal (object.defs.cc:11-18).
         px = ox + t_safe * dx
@@ -407,20 +464,75 @@ def _trace_kernel(
     stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
 
 
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so there are 2 zero bits between each."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_order(centers: jnp.ndarray) -> jnp.ndarray:
+    """Permutation sorting spheres along a 3D Morton curve (10 bits/axis).
+
+    Spatially-close spheres land in the same 32-sphere block, which is what
+    makes the per-block bounding-sphere cull effective.
+    """
+    lo = jnp.min(centers, axis=0)
+    hi = jnp.max(centers, axis=0)
+    scale = 1023.0 / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((centers - lo) * scale, 0.0, 1023.0).astype(jnp.uint32)
+    code = (
+        (_part1by2(q[:, 0]) << 2)
+        | (_part1by2(q[:, 1]) << 1)
+        | _part1by2(q[:, 2])
+    )
+    return jnp.argsort(code)
+
+
 def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
-    """Scene -> (geom_t f32[N_pad, 8], mats_t f32[N_pad, 8], n_actual).
+    """Scene -> (geom_t f32[N_pad, 8], mats_t f32[N_pad, 8],
+    bounds f32[n_blocks, 8], n_actual).
 
     Transposed layout: spheres on sublanes, attributes on lanes, so the
     kernel's sphere-block slices broadcast against ray rows without any
-    transposition. Padding spheres get radius 0 at a far-away center and are
-    masked by the ``sphere_id < n_actual`` test.
+    transposition. Spheres are Morton-sorted so each ``_SPHERE_BLOCK``-sphere
+    block is spatially compact; ``bounds`` holds each block's bounding sphere
+    [bcx, bcy, bcz, br, ...] for the kernel's conservative cull. Padding
+    spheres (radius 0 at the last real center) never hit and are additionally
+    masked by the ``sphere_id < n_actual`` test; they do not inflate bounds.
     """
     n = scene.num_objects
     n_pad = max(-(-n // n_pad_multiple) * n_pad_multiple, n_pad_multiple)
-    pad = n_pad - n
 
-    centers = jnp.pad(scene.centers, ((0, pad), (0, 0)), constant_values=1.0e9)
-    radii = jnp.pad(scene.radii, (0, pad), constant_values=0.0)
+    if n > 0:
+        order = _morton_order(scene.centers)
+        centers = scene.centers[order]
+        radii = scene.radii[order]
+        albedo = scene.albedo[order]
+        fuzz = scene.fuzz[order]
+        ior = scene.ior[order]
+        kind = scene.mat_kind[order].astype(jnp.float32)
+        pad = n_pad - n
+        pad_center = centers[-1]
+        centers = jnp.concatenate(
+            [centers, jnp.tile(pad_center[None], (pad, 1))], axis=0
+        )
+        radii = jnp.pad(radii, (0, pad))
+        albedo = jnp.pad(albedo, ((0, pad), (0, 0)))
+        fuzz = jnp.pad(fuzz, (0, pad))
+        ior = jnp.pad(ior, (0, pad), constant_values=1.0)
+        kind = jnp.pad(kind, (0, pad))
+    else:
+        centers = jnp.full((n_pad, 3), 1.0e9, jnp.float32)
+        radii = jnp.zeros((n_pad,), jnp.float32)
+        albedo = jnp.zeros((n_pad, 3), jnp.float32)
+        fuzz = jnp.zeros((n_pad,), jnp.float32)
+        ior = jnp.ones((n_pad,), jnp.float32)
+        kind = jnp.zeros((n_pad,), jnp.float32)
+
     cm2 = jnp.sum(centers * centers, axis=-1) - radii * radii
     inv_r = jnp.where(radii > 0.0, 1.0 / jnp.maximum(radii, 1e-30), 0.0)
     zcol = jnp.zeros_like(radii)
@@ -429,17 +541,30 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
          zcol, zcol],
         axis=1,
     )
-
-    albedo = jnp.pad(scene.albedo, ((0, pad), (0, 0)), constant_values=0.0)
-    fuzz = jnp.pad(scene.fuzz, (0, pad), constant_values=0.0)
-    ior = jnp.pad(scene.ior, (0, pad), constant_values=1.0)
-    kind = jnp.pad(scene.mat_kind.astype(jnp.float32), (0, pad), constant_values=0.0)
     mats_t = jnp.stack(
         [albedo[:, 0], albedo[:, 1], albedo[:, 2], fuzz, ior, kind,
          zcol, zcol],
         axis=1,
     )
-    return geom_t.astype(jnp.float32), mats_t.astype(jnp.float32), n
+
+    # Per-block bounding spheres: center = bbox midpoint of the block's
+    # sphere centers, radius = max(|c_i - bc| + r_i).
+    n_blocks = n_pad // n_pad_multiple
+    cblk = centers.reshape(n_blocks, n_pad_multiple, 3)
+    rblk = radii.reshape(n_blocks, n_pad_multiple)
+    bc = 0.5 * (jnp.min(cblk, axis=1) + jnp.max(cblk, axis=1))
+    br = jnp.max(
+        jnp.linalg.norm(cblk - bc[:, None, :], axis=-1) + rblk, axis=1
+    )
+    bounds = jnp.concatenate(
+        [bc, br[:, None], jnp.zeros((n_blocks, 4), jnp.float32)], axis=1
+    )
+    return (
+        geom_t.astype(jnp.float32),
+        mats_t.astype(jnp.float32),
+        bounds.astype(jnp.float32),
+        n,
+    )
 
 
 @functools.partial(
@@ -473,7 +598,7 @@ def trace_rays_fused(
     num_tiles = b // tile_rays
     t_sub = tile_rays // 128
 
-    geom_t, mats_t, n_actual = pack_scene(scene)
+    geom_t, mats_t, bounds, n_actual = pack_scene(scene)
     n_pad = geom_t.shape[0]
 
     rays = jnp.concatenate([origins.T, directions.T], axis=0)  # (6, B)
@@ -501,6 +626,7 @@ def trace_rays_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam (unused)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_t
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mats_t
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds
             pl.BlockSpec(
                 (6, t_sub, 128),
                 lambda i: (0, i, 0),
@@ -520,7 +646,7 @@ def trace_rays_fused(
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, cam_zeros, geom_t, mats_t, rays)
+    )(meta, cam_zeros, geom_t, mats_t, bounds, rays)
 
     radiance = rad.reshape(3, b).T
     segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])
@@ -530,7 +656,8 @@ def trace_rays_fused(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_rays", "chunk_samples", "max_depth", "tile_rays", "interpret",
+        "num_rays", "chunk_samples", "max_depth", "pixel_order", "tile_rays",
+        "interpret",
     ),
 )
 def render_camera_fused(
@@ -542,23 +669,26 @@ def render_camera_fused(
     defocus_disk_u: jnp.ndarray,
     defocus_disk_v: jnp.ndarray,
     defocus_angle: jnp.ndarray,
-    image_width: jnp.ndarray,
-    pix_base: jnp.ndarray,
+    map_param: jnp.ndarray,
+    slot_base: jnp.ndarray,
     seed: jnp.ndarray,
     tile_offset: jnp.ndarray,
     num_rays: int,
     chunk_samples: int,
     max_depth: int,
     *,
+    pixel_order: str = "linear",
     tile_rays: int = DEFAULT_TILE_RAYS,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fully fused wave: camera ray generation + path trace in one kernel.
 
-    Ray ``i`` (of ``num_rays``) samples pixel ``pix_base + i // chunk_samples``
-    -- the renderer's contiguous pixel-major wave layout -- with thin-lens
-    jitter drawn from the per-tile camera RNG stream. Removes all per-ray HBM
-    input traffic (the rays never exist outside VMEM).
+    Ray ``i`` (of ``num_rays``) samples work slot
+    ``slot_base + i // chunk_samples`` with thin-lens jitter drawn from the
+    per-tile camera RNG stream; the slot -> pixel map is ``pixel_order``:
+    "linear" (``map_param`` = image width, pid = slot) or "tiled" 32x32 pixel
+    tiles (``map_param`` = tiles-per-row, see runtime/tiling.py). Removes all
+    per-ray HBM input traffic (the rays never exist outside VMEM).
 
     Returns ``(radiance[num_rays, 3], segments scalar int32)``.
     """
@@ -568,15 +698,15 @@ def render_camera_fused(
     num_tiles = b // tile_rays
     t_sub = tile_rays // 128
 
-    geom_t, mats_t, n_actual = pack_scene(scene)
+    geom_t, mats_t, bounds, n_actual = pack_scene(scene)
     n_pad = geom_t.shape[0]
 
     meta = (
         jnp.array([n_actual, 0, 0, 0, 0, 0], jnp.int32)
         .at[1].set(seed.astype(jnp.int32))
         .at[2].set(tile_offset.astype(jnp.int32))
-        .at[3].set(jnp.asarray(image_width, jnp.int32))
-        .at[4].set(pix_base.astype(jnp.int32))
+        .at[3].set(jnp.asarray(map_param, jnp.int32))
+        .at[4].set(slot_base.astype(jnp.int32))
     )
     cam_vec = jnp.concatenate(
         [
@@ -598,6 +728,7 @@ def render_camera_fused(
         tile_shape=(t_sub, 128),
         camera_mode=True,
         chunk_samples=chunk_samples,
+        pixel_order=pixel_order,
     )
 
     rad, stats = pl.pallas_call(
@@ -608,6 +739,7 @@ def render_camera_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_t
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mats_t
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds
         ],
         out_specs=[
             pl.BlockSpec(
@@ -622,7 +754,7 @@ def render_camera_fused(
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, cam_vec, geom_t, mats_t)
+    )(meta, cam_vec, geom_t, mats_t, bounds)
 
     radiance = rad.reshape(3, b).T
     segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])

@@ -43,6 +43,7 @@ from ..core import color as rcolor
 from ..models import integrator
 from ..parallel import shard as rshard
 from ..scene.types import Scene
+from . import tiling as rtiling
 
 ProgressCallback = Callable[["RenderProgress"], None]
 
@@ -79,6 +80,7 @@ class RenderProgress:
     jax.jit,
     static_argnames=(
         "chunk_samples", "spp", "max_depth", "use_matmul", "mesh", "backend",
+        "pixel_order",
     ),
     donate_argnums=(0,),
 )
@@ -97,6 +99,8 @@ def _accumulate_step(
     backend: str = "xla",
     pallas_seed: jnp.ndarray | None = None,
     tile_offset: jnp.ndarray | None = None,
+    pixel_order: str = "linear",
+    slot_base: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One wave: trace (pixel block) x (sample chunk), scatter-add into the
     device framebuffer. ``image_sum`` has one trailing spill row so padded
@@ -116,6 +120,8 @@ def _accumulate_step(
             backend=backend,
             pallas_seed=pallas_seed,
             tile_offset=tile_offset,
+            pixel_order=pixel_order,
+            slot_base=slot_base,
         )
     else:
         rad_sum, segments = rshard.render_pixels_sharded(
@@ -214,12 +220,12 @@ class Renderer:
         return end - self._start_time
 
     # -- work decomposition --------------------------------------------------
-    def _plan(self, spp: int) -> tuple[int, int]:
-        """Choose (pixel_block, chunk_spp) so a wave is <= max_rays_per_batch
-        rays. Favor whole-image pixel blocks (better for progressive preview);
+    def _plan(self, spp: int, total_slots: int) -> tuple[int, int]:
+        """Choose (slot_block, chunk_spp) so a wave is <= max_rays_per_batch
+        rays. Favor whole-image blocks (better for progressive preview);
         split samples first, pixels only when one-sample whole-image waves are
         still too large."""
-        num_pixels = self.pixels_count
+        num_pixels = total_slots
         # With a mesh, pixel blocks must divide evenly over the px axis; the
         # pallas kernel additionally needs pixel_block to be a multiple of its
         # ray tile (so pixel_block * chunk_spp is tile-aligned).
@@ -265,20 +271,30 @@ class Renderer:
 
         cam = self.camera
         num_pixels = self.pixels_count
-        pixel_block, chunk_spp = self._plan(spp)
+
+        # Work-slot order: 2D 32x32 pixel tiles for the pallas backend (ray
+        # coherence feeds the kernel's bounding-sphere cull); plain raster
+        # order otherwise. Out-of-image/padding slots carry the spill id.
+        if self.backend == "pallas":
+            all_ids = rtiling.tiled_pixel_ids(cam.image_width, cam.image_height)
+            pixel_order = "tiled"
+        else:
+            all_ids = np.arange(num_pixels, dtype=np.int32)
+            pixel_order = "linear"
+        total_slots = len(all_ids)
+        pixel_block, chunk_spp = self._plan(spp, total_slots)
 
         # Device framebuffer with one spill row for padded pixel ids.
         image_sum = jnp.zeros((num_pixels + 1, 3), jnp.float32)
 
-        all_ids = np.arange(num_pixels, dtype=np.int32)
-        pad = (-num_pixels) % pixel_block
+        pad = (-total_slots) % pixel_block
         if pad:
             all_ids = np.concatenate(
                 [all_ids, np.full(pad, num_pixels, np.int32)]
             )
+        slot_bases = list(range(0, len(all_ids), pixel_block))
         id_blocks = [
-            jnp.asarray(all_ids[i : i + pixel_block])
-            for i in range(0, len(all_ids), pixel_block)
+            jnp.asarray(all_ids[i : i + pixel_block]) for i in slot_bases
         ]
 
         self._samples_done = 0
@@ -293,7 +309,7 @@ class Renderer:
         pallas_seed = jnp.int32(self.seed & 0x7FFFFFFF)
         while sample_start < spp:
             this_chunk = min(chunk_spp, spp - sample_start)
-            for ids in id_blocks:
+            for ids, sbase in zip(id_blocks, slot_bases):
                 image_sum, segments = _accumulate_step(
                     image_sum,
                     self.scene,
@@ -309,6 +325,8 @@ class Renderer:
                     self.backend,
                     pallas_seed,
                     jnp.int32(tiles_so_far),
+                    pixel_order,
+                    jnp.int32(sbase),
                 )
                 seg_handles.append(segments)
                 tiles_so_far += (len(ids) * this_chunk) // 1024

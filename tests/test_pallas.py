@@ -144,13 +144,65 @@ def test_bad_ray_count_raises():
 
 def test_pack_scene_padding():
     b = SceneBuilder()
-    b.add_lambertian_sphere((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3))
+    b.add_lambertian_sphere((0.25, 0.5, -1.0), 0.5, (0.7, 0.3, 0.3))
     scene = b.build()
-    geom_t, mats_t, n = ptrace.pack_scene(scene)
+    geom_t, mats_t, bounds, n = ptrace.pack_scene(scene)
     assert n == 1
-    assert geom_t.shape == (128, 8)
-    assert mats_t.shape == (128, 8)
-    # Padding spheres: radius 0, far away, ior 1.
+    n_pad = geom_t.shape[0]
+    assert geom_t.shape == (n_pad, 8) and n_pad % ptrace._SPHERE_BLOCK == 0
+    assert mats_t.shape == (n_pad, 8)
+    assert bounds.shape == (n_pad // ptrace._SPHERE_BLOCK, 8)
+    # Padding spheres: radius 0 at the last real center, ior 1 -> can never
+    # hit and never inflate the block bound.
     assert float(geom_t[5, 3]) == 0.0
-    assert float(geom_t[5, 0]) == 1.0e9
+    assert float(geom_t[5, 0]) == 0.25
     assert float(mats_t[5, 4]) == 1.0
+    # Block bound encloses the single real sphere.
+    np.testing.assert_allclose(np.asarray(bounds[0, :3]), [0.25, 0.5, -1.0], atol=1e-6)
+    np.testing.assert_allclose(float(bounds[0, 3]), 0.5, atol=1e-6)
+
+
+def test_pack_scene_morton_preserves_materials():
+    """Sorting must keep (geometry, material) rows paired."""
+    rng = np.random.default_rng(3)
+    b = SceneBuilder()
+    centers = rng.normal(size=(50, 3)).astype(np.float32) * 5
+    for i, c in enumerate(centers):
+        b.add_lambertian_sphere(c, 0.1 + 0.01 * i, (i / 50.0, 0.5, 0.5))
+    scene = b.build()
+    geom_t, mats_t, _, n = ptrace.pack_scene(scene)
+    # For every packed row, the (radius -> albedo_r) pairing must match the
+    # original builder order: radius 0.1+0.01*i pairs with albedo i/50.
+    for row in range(n):
+        radius = float(geom_t[row, 3])
+        i = round((radius - 0.1) / 0.01)
+        np.testing.assert_allclose(float(mats_t[row, 0]), i / 50.0, atol=1e-5)
+
+
+def test_tiled_pixel_order_host_table():
+    from raytracing_tpu.runtime import tiling
+
+    ids = tiling.tiled_pixel_ids(70, 40)  # not multiples of 32
+    assert len(ids) % 1024 == 0
+    spill = 70 * 40
+    valid = ids[ids < spill]
+    # Every pixel appears exactly once.
+    assert len(valid) == spill
+    assert len(np.unique(valid)) == spill
+    # First tile is the top-left 32x32 block in row-major within-tile order.
+    assert ids[0] == 0
+    assert ids[1] == 1
+    assert ids[32] == 70  # second row of the tile
+    # Mapping matches the kernel's float formula.
+    tpr = tiling.tiles_per_row(70)
+    slot = np.arange(len(ids), dtype=np.float64)
+    tile_id = np.floor((slot + 0.5) / 1024.0)
+    within = slot - tile_id * 1024.0
+    wy = np.floor((within + 0.5) / 32.0)
+    wx = within - wy * 32.0
+    ty = np.floor((tile_id + 0.5) / tpr)
+    tx = tile_id - ty * tpr
+    px = (tx * 32 + wx).astype(np.int64)
+    py = (ty * 32 + wy).astype(np.int64)
+    expect = np.where((px < 70) & (py < 40), py * 70 + px, spill)
+    np.testing.assert_array_equal(ids, expect.astype(np.int32))
