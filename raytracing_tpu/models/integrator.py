@@ -200,11 +200,13 @@ def render_pixels(
     p = pixel_ids.shape[0]
 
     if backend == "pallas":
-        # Fully fused wave: camera sampling + tracing in one kernel. The
-        # kernel regenerates the pixel for each work slot itself:
-        # "linear" -> pid = slot (pixel_ids must be the contiguous range
-        # starting at pixel_ids[0]); "tiled" -> 32x32 pixel tiles matching
-        # runtime/tiling.tiled_pixel_ids (pixel_ids must be that table's
+        # Fully fused wave: camera sampling + path tracing + in-kernel sample
+        # regeneration. Each work slot owns ONE pixel and traces all
+        # ``chunk_samples`` of its samples back-to-back; the kernel returns
+        # per-pixel radiance sums directly. The slot -> pixel map is
+        # "linear" (pid = slot; pixel_ids must be the contiguous range
+        # starting at pixel_ids[0]) or "tiled" (32x32 pixel tiles matching
+        # runtime/tiling.tiled_pixel_ids; pixel_ids must be that table's
         # slice starting at slot_base). Padded/out-of-image slots spill past
         # the image and are discarded by the caller's scatter-add.
         from ..ops.pallas import trace as ptrace
@@ -217,7 +219,7 @@ def render_pixels(
             map_param = cam.image_width
             base = pixel_ids[0]
 
-        radiance, segments = ptrace.render_camera_fused(
+        radiance_sum, segments = ptrace.render_pixels_fused(
             scene,
             cam.pixel00,
             cam.pixel_delta_u,
@@ -230,11 +232,12 @@ def render_pixels(
             base,
             pallas_seed if pallas_seed is not None else jnp.int32(0),
             tile_offset if tile_offset is not None else jnp.int32(0),
-            p * chunk_samples,
+            p,
             chunk_samples,
             max_depth,
             pixel_order=pixel_order,
         )
+        return radiance_sum, segments
     else:
         sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)
         pix = jnp.repeat(pixel_ids, chunk_samples)          # (P*S,)

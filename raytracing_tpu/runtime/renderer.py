@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 import time
 from typing import Callable
 
@@ -140,6 +139,53 @@ def _accumulate_step(
     return image_sum, segments
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slots", "pixel_order"),
+    donate_argnums=(0,),
+)
+def _accumulate_step_pallas(
+    image_sum: jnp.ndarray,
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    pixel_ids: jnp.ndarray,
+    map_param: jnp.ndarray,
+    slot_base: jnp.ndarray,
+    pallas_seed: jnp.ndarray,
+    tile_offset: jnp.ndarray,
+    chunk_spp: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    num_slots: int,
+    pixel_order: str,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One regen-megakernel wave (all pixel slots x a dynamic sample chunk).
+
+    ``chunk_spp``/``max_depth`` are runtime scalars so varying chunk sizes
+    never recompile (the kernel's loop bounds are data-dependent anyway)."""
+    from ..ops.pallas import trace as ptrace
+
+    rad_sum, segments = ptrace._render_pixels_fused(
+        scene,
+        cam.pixel00,
+        cam.pixel_delta_u,
+        cam.pixel_delta_v,
+        cam.center,
+        cam.defocus_disk_u,
+        cam.defocus_disk_v,
+        cam.defocus_angle,
+        map_param,
+        slot_base,
+        pallas_seed,
+        tile_offset,
+        num_slots,
+        chunk_spp,
+        max_depth,
+        pixel_order=pixel_order,
+    )
+    image_sum = image_sum.at[pixel_ids].add(rad_sum)
+    return image_sum, segments
+
+
 def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) -> jnp.ndarray:
     mean = image_sum[:-1] * jnp.float32(inv_samples)
     return rcolor.rgb_to_u8(mean).reshape(height, width, 3)
@@ -226,14 +272,18 @@ class Renderer:
         split samples first, pixels only when one-sample whole-image waves are
         still too large."""
         num_pixels = total_slots
-        # With a mesh, pixel blocks must divide evenly over the px axis; the
-        # pallas kernel additionally needs pixel_block to be a multiple of its
-        # ray tile (so pixel_block * chunk_spp is tile-aligned).
-        px_quantum = self.mesh.shape["px"] if self.mesh is not None else 1
         if self.backend == "pallas":
-            from ..ops.pallas.trace import DEFAULT_TILE_RAYS
-
-            px_quantum = math.lcm(px_quantum, DEFAULT_TILE_RAYS)
+            # The regen megakernel owns whole pixel slots (one pixel per
+            # slot, all chunk samples traced in-kernel), so the only split
+            # axis is spp; one dispatch always covers every slot. The chunk
+            # bound exists purely for progress-callback granularity.
+            chunk_spp = max(
+                1,
+                min(spp, (self.max_rays_per_batch * 16) // max(total_slots, 1)),
+            )
+            return total_slots, chunk_spp
+        # With a mesh, pixel blocks must divide evenly over the px axis.
+        px_quantum = self.mesh.shape["px"] if self.mesh is not None else 1
         if num_pixels <= self.max_rays_per_batch:
             chunk_spp = max(1, min(spp, self.max_rays_per_batch // num_pixels))
             block = -(-num_pixels // px_quantum) * px_quantum
@@ -307,29 +357,48 @@ class Renderer:
         sample_start = 0
         tiles_so_far = 0
         pallas_seed = jnp.int32(self.seed & 0x7FFFFFFF)
+        if self.backend == "pallas":
+            map_param = jnp.int32(rtiling.tiles_per_row(cam.image_width))
         while sample_start < spp:
             this_chunk = min(chunk_spp, spp - sample_start)
             for ids, sbase in zip(id_blocks, slot_bases):
-                image_sum, segments = _accumulate_step(
-                    image_sum,
-                    self.scene,
-                    cam,
-                    self.base_key,
-                    ids,
-                    jnp.int32(sample_start),
-                    this_chunk,
-                    spp,
-                    max_depth,
-                    self.use_matmul,
-                    self.mesh,
-                    self.backend,
-                    pallas_seed,
-                    jnp.int32(tiles_so_far),
-                    pixel_order,
-                    jnp.int32(sbase),
-                )
+                if self.backend == "pallas":
+                    image_sum, segments = _accumulate_step_pallas(
+                        image_sum,
+                        self.scene,
+                        cam,
+                        ids,
+                        map_param,
+                        jnp.int32(sbase),
+                        pallas_seed,
+                        jnp.int32(tiles_so_far),
+                        jnp.int32(this_chunk),
+                        jnp.int32(max_depth),
+                        len(ids),
+                        pixel_order,
+                    )
+                    tiles_so_far += len(ids) // 1024
+                else:
+                    image_sum, segments = _accumulate_step(
+                        image_sum,
+                        self.scene,
+                        cam,
+                        self.base_key,
+                        ids,
+                        jnp.int32(sample_start),
+                        this_chunk,
+                        spp,
+                        max_depth,
+                        self.use_matmul,
+                        self.mesh,
+                        self.backend,
+                        pallas_seed,
+                        jnp.int32(tiles_so_far),
+                        pixel_order,
+                        jnp.int32(sbase),
+                    )
+                    tiles_so_far += (len(ids) * this_chunk) // 1024
                 seg_handles.append(segments)
-                tiles_so_far += (len(ids) * this_chunk) // 1024
             sample_start += this_chunk
             self._samples_done = sample_start
             chunk_index += 1

@@ -146,20 +146,45 @@ def test_pack_scene_padding():
     b = SceneBuilder()
     b.add_lambertian_sphere((0.25, 0.5, -1.0), 0.5, (0.7, 0.3, 0.3))
     scene = b.build()
-    geom_t, mats_t, bounds, n = ptrace.pack_scene(scene)
+    geom_h, geom_c, shade, n = ptrace.pack_scene(scene)
     assert n == 1
-    n_pad = geom_t.shape[0]
-    assert geom_t.shape == (n_pad, 8) and n_pad % ptrace._SPHERE_BLOCK == 0
-    assert mats_t.shape == (n_pad, 8)
-    assert bounds.shape == (n_pad // ptrace._SPHERE_BLOCK, 8)
-    # Padding spheres: radius 0 at the last real center, ior 1 -> can never
-    # hit and never inflate the block bound.
-    assert float(geom_t[5, 3]) == 0.0
-    assert float(geom_t[5, 0]) == 0.25
-    assert float(mats_t[5, 4]) == 1.0
-    # Block bound encloses the single real sphere.
-    np.testing.assert_allclose(np.asarray(bounds[0, :3]), [0.25, 0.5, -1.0], atol=1e-6)
-    np.testing.assert_allclose(float(bounds[0, 3]), 0.5, atol=1e-6)
+    n_pad = geom_h.shape[0]
+    assert geom_h.shape == (n_pad, 8) and n_pad % ptrace._SPHERE_BLOCK == 0
+    assert geom_c.shape == (n_pad, 8)
+    assert shade.shape == (n_pad, 8)
+    # Real sphere row 0: geom_h = [c, 1, 0...], geom_c = [-2c, |c|^2-r^2, 1].
+    np.testing.assert_allclose(
+        np.asarray(geom_h[0]), [0.25, 0.5, -1.0, 1, 0, 0, 0, 0], atol=1e-6
+    )
+    cm2 = 0.25**2 + 0.5**2 + 1.0 - 0.25
+    np.testing.assert_allclose(
+        np.asarray(geom_c[0]), [-0.5, -1.0, 2.0, cm2, 1, 0, 0, 0], atol=1e-6
+    )
+    # shade = [c, r, albedo, param]; lambertian param = -1.
+    np.testing.assert_allclose(
+        np.asarray(shade[0]),
+        [0.25, 0.5, -1.0, 0.5, 0.7, 0.3, 0.3, -1.0],
+        atol=1e-6,
+    )
+    # Padding spheres: radius 0 at the last real center -> can never hit.
+    assert float(shade[5, 3]) == 0.0
+    assert float(shade[5, 0]) == 0.25
+
+
+def test_pack_scene_param_encoding():
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, 0.0, 0.0), 1.0, (0.1, 0.2, 0.3))
+    b.add_metallic_sphere((3.0, 0.0, 0.0), 1.0, (0.4, 0.5, 0.6), 0.25)
+    b.add_dielectric_sphere((6.0, 0.0, 0.0), 1.0, 1.5)
+    scene = b.build()
+    _, _, shade, n = ptrace.pack_scene(scene)
+    assert n == 3
+    shade = np.asarray(shade)
+    # Identify rows by x-center (Morton sort may permute).
+    for cx, want in [(0.0, -1.0), (3.0, 0.25), (6.0, 5.5)]:
+        row = np.flatnonzero(np.abs(shade[:n, 0] - cx) < 1e-6)
+        assert len(row) == 1
+        np.testing.assert_allclose(shade[row[0], 7], want, atol=1e-6)
 
 
 def test_pack_scene_morton_preserves_materials():
@@ -170,13 +195,13 @@ def test_pack_scene_morton_preserves_materials():
     for i, c in enumerate(centers):
         b.add_lambertian_sphere(c, 0.1 + 0.01 * i, (i / 50.0, 0.5, 0.5))
     scene = b.build()
-    geom_t, mats_t, _, n = ptrace.pack_scene(scene)
+    _, _, shade, n = ptrace.pack_scene(scene)
     # For every packed row, the (radius -> albedo_r) pairing must match the
     # original builder order: radius 0.1+0.01*i pairs with albedo i/50.
     for row in range(n):
-        radius = float(geom_t[row, 3])
+        radius = float(shade[row, 3])
         i = round((radius - 0.1) / 0.01)
-        np.testing.assert_allclose(float(mats_t[row, 0]), i / 50.0, atol=1e-5)
+        np.testing.assert_allclose(float(shade[row, 4]), i / 50.0, atol=1e-5)
 
 
 def test_tiled_pixel_order_host_table():
