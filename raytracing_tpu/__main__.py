@@ -1,0 +1,8 @@
+"""``python -m raytracing_tpu`` entry point (see cli.py)."""
+
+import sys
+
+from .cli import main
+
+if __name__ == "__main__":
+    sys.exit(main())

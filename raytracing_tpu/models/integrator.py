@@ -242,9 +242,12 @@ def render_pixels(
         sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)
         pix = jnp.repeat(pixel_ids, chunk_samples)          # (P*S,)
         samp = jnp.tile(sample_ids, p)                      # (P*S,)
-        global_ids = pix * spp + samp
 
-        keys = rrng.ray_keys(base_key, global_ids)
+        # Per-(pixel, sample) stream via two fold levels -- deliberately NOT
+        # pixel*spp + sample, so the stream is independent of the target spp
+        # and a checkpointed render resumed to a higher spp reproduces an
+        # uninterrupted render bit-for-bit.
+        keys = rrng.fold(rrng.ray_keys(base_key, pix), samp)
         px = pix % cam.image_width
         py = pix // cam.image_width
         origins, directions = rcamera.generate_rays(cam, keys, px, py)

@@ -98,8 +98,15 @@ def _f32_bits(x: float) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _sweep(geh_ref, gec_ref, ids, idval, rows, *, n_pad, t_sub):
+def _sweep(geh_ref, gec_ref, ids_col, rows, *, n_pad, t_sub):
     """Closest-hit over all spheres for a full (t_sub, 128) ray tile.
+
+    Pure VPU broadcast arithmetic: each inner step tests an (N_pad, 1) sphere
+    column against a (1, 128) ray group giving (N_pad, 128) candidate roots.
+    (A formulation of the two inner products as (N,8)x(8,128) MXU matmuls was
+    measured SLOWER -- Mosaic pads tiny-K matmuls -- so the sweep stays on the
+    VPU.) Padding rows carry cq = +1e30 so their discriminant is always
+    negative: no separate validity mask is needed.
 
     Returns ``kmin i32 (t_sub, 128)``: bits of the winning (quantized)
     near-root with the sphere id packed in the low ``_pack_bits`` bits
@@ -112,56 +119,64 @@ def _sweep(geh_ref, gec_ref, ids, idval, rows, *, n_pad, t_sub):
     ta = _T_MIN * a
     pack_mask = (1 << _pack_bits(n_pad)) - 1
 
+    cx = geh_ref[:, 0:1]
+    cy = geh_ref[:, 1:2]
+    cz = geh_ref[:, 2:3]
+    m2cx = gec_ref[:, 0:1]
+    m2cy = gec_ref[:, 1:2]
+    m2cz = gec_ref[:, 2:3]
+    cm2 = gec_ref[:, 3:4]
+
     kmin_rows = []
     for g in range(t_sub):
         sl = slice(g, g + 1)
-        z = jnp.zeros((1, 128), jnp.float32)
-        one = z + 1.0
-        # B_h = [dx; dy; dz; -d.o; 0...]   -> G_h @ B_h  = d.(c-o)      (h)
-        # B_c = [ox; oy; oz; 1; o.o; 0...] -> G_c @ B_c  = |o-c|^2-r^2  (cq)
-        bh = jnp.concatenate(
-            [dx[sl], dy[sl], dz[sl], -d_dot_o[sl], z, z, z, z], axis=0
-        )
-        bc = jnp.concatenate(
-            [ox[sl], oy[sl], oz[sl], one, o_dot_o[sl], z, z, z], axis=0
-        )
-        dn = (((1,), (0,)), ((), ()))
-        h = jax.lax.dot_general(
-            geh_ref[:], bh, dn, precision=_HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        cq = jax.lax.dot_general(
-            gec_ref[:], bc, dn, precision=_HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        # Quadratic (object.defs.cc:41-66) on the *unscaled* roots
-        # n = a*t = h -+ sqrt(h^2 - a*cq): same ordering and same sign as t
-        # (a > 0 is constant per ray), so the interval test t > T_MIN becomes
-        # n > T_MIN * a and no per-pair division is needed.
+        # h = d.(c-o); cq = |o-c|^2 - r^2   (object.defs.cc:43-46)
+        h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
+        cq = cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl] + o_dot_o[sl]
+        # Unscaled roots n = a*t = h -+ sqrt(h^2 - a*cq): same ordering and
+        # sign as t (a > 0 constant per ray), so the interval test t > T_MIN
+        # becomes n > T_MIN * a and no per-pair division is needed.
         delta = h * h - a[sl] * cq
         sq = jnp.sqrt(jnp.maximum(delta, 0.0))
         n1 = h - sq
         n2 = h + sq
         nroot = jnp.where(n1 > ta[sl], n1, n2)
-        ok = (delta >= 0.0) & (nroot > ta[sl]) & idval
+        ok = (delta >= 0.0) & (nroot > ta[sl])
         key = jnp.where(ok, nroot, _BIGF)
-        ki = (pltpu.bitcast(key, jnp.int32) & ~pack_mask) | ids
+        ki = (pltpu.bitcast(key, jnp.int32) & ~pack_mask) | ids_col
         kmin_rows.append(jnp.min(ki, axis=0, keepdims=True))
     return jnp.concatenate(kmin_rows, axis=0)
 
 
-def _gather(shade_ref, ids, imin, *, t_sub):
-    """One-hot mask-reduce fetch of the winning sphere's 8 shading attrs.
+def _gather(shade_ref, imin, *, n_pad, t_sub):
+    """Radix-select fetch of the winning sphere's 8 shading attrs.
+
+    A binary tournament on the bits of ``imin`` folds each (N_pad, 1) table
+    column in half log2(N_pad) times -- O(N) selects total per attribute
+    (vs O(N) multiply + O(N) reduce-add for a one-hot mask-reduce, measured
+    ~2x slower) -- then three sublane rotate-select rounds collapse the last
+    8 rows. Requires ``n_pad`` to be a power of two (pack_scene guarantees).
 
     Returns 8 arrays of shape (t_sub, 128):
     cx, cy, cz, r, alb_r, alb_g, alb_b, param.
     """
     outs = [[] for _ in range(8)]
     cols = [shade_ref[:, j : j + 1] for j in range(8)]
+    nbits = _pack_bits(n_pad)
     for g in range(t_sub):
-        oh = (ids == imin[g : g + 1]).astype(jnp.float32)
-        for j in range(8):
-            outs[j].append(jnp.sum(oh * cols[j], axis=0, keepdims=True))
+        sel = imin[g : g + 1]  # (1, 128)
+        bit = [((sel >> k) & 1) > 0 for k in range(nbits)]
+        for j, col in enumerate(cols):
+            t = col
+            size = n_pad
+            while size > 8:
+                half = size // 2
+                t = jnp.where(bit[half.bit_length() - 1], t[half:size], t[:half])
+                size = half
+            for shift in (4, 2, 1):
+                rolled = pltpu.roll(t, 8 - shift, axis=0)
+                t = jnp.where(bit[shift.bit_length() - 1], rolled, t)
+            outs[j].append(t[0:1])
     return tuple(jnp.concatenate(o, axis=0) for o in outs)
 
 
@@ -169,7 +184,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
     Args:
-      refs: (geh_ref, gec_ref, shade_ref, ids, idval).
+      refs: (geh_ref, gec_ref, shade_ref, ids_col).
       rows: ray state (ox, oy, oz, dx, dy, dz).
       uniforms: three U[0,1) draws (unit-sphere z/azimuth, Schlick).
 
@@ -177,7 +192,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     rgb, scat_ok (bool: hit ray survives the scatter), sky rgb (unweighted
     background for this direction).
     """
-    geh_ref, gec_ref, shade_ref, ids, idval = refs
+    geh_ref, gec_ref, shade_ref, ids_col = refs
     ox, oy, oz, dx, dy, dz = rows
     u1, u2, u3 = uniforms
     pack_mask = (1 << _pack_bits(n_pad)) - 1
@@ -185,15 +200,13 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     a = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
 
-    kmin = _sweep(
-        geh_ref, gec_ref, ids, idval, rows, n_pad=n_pad, t_sub=t_sub
-    )
+    kmin = _sweep(geh_ref, gec_ref, ids_col, rows, n_pad=n_pad, t_sub=t_sub)
     nohit_key = _f32_bits(_BIGF) & ~pack_mask
     hitm = kmin < nohit_key
     imin = kmin & pack_mask
 
     cxb, cyb, czb, rb, albr, albg, albb, param = _gather(
-        shade_ref, ids, imin, t_sub=t_sub
+        shade_ref, imin, n_pad=n_pad, t_sub=t_sub
     )
 
     # Exact winner root, recomputed per ray (the swept key lost
@@ -394,9 +407,8 @@ def _regen_kernel(
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
 
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 0)
-    idval = ids < meta_ref[0]
-    refs = (geh_ref, gec_ref, shade_ref, ids, idval)
+    ids_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    refs = (geh_ref, gec_ref, shade_ref, ids_col)
 
     pxf, pyf = _slot_pixels(meta_ref, tile_shape, pixel_order=pixel_order)
 
@@ -649,9 +661,8 @@ def _trace_kernel(
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
 
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 0)
-    idval = ids < meta_ref[0]
-    refs = (geh_ref, gec_ref, shade_ref, ids, idval)
+    ids_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    refs = (geh_ref, gec_ref, shade_ref, ids_col)
 
     zero = jnp.zeros(tile_shape, jnp.float32)
     one = zero + 1.0
@@ -843,21 +854,21 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     """Scene -> (geom_h f32[N_pad,8], geom_c f32[N_pad,8],
     shade f32[N_pad,8], n_actual).
 
-    * ``geom_h`` rows [cx, cy, cz, 1, 0...]: with B = [dx; dy; dz; -d.o; 0...]
-      the matmul yields ``h = d . (c - o)`` for every (sphere, ray) pair.
-    * ``geom_c`` rows [-2cx, -2cy, -2cz, |c|^2 - r^2, 1, 0...]: with
-      B = [ox; oy; oz; 1; o.o; 0...] the matmul yields
-      ``cq = |o - c|^2 - r^2``.
+    * ``geom_h`` cols 0-2 [cx, cy, cz]: sphere centers for the sweep's
+      ``h = d . (c - o)``.
+    * ``geom_c`` cols 0-3 [-2cx, -2cy, -2cz, |c|^2 - r^2]: constants for the
+      sweep's ``cq = |o - c|^2 - r^2 = cm2 - 2 c.o + o.o``.
     * ``shade`` rows [cx, cy, cz, r, alb_r, alb_g, alb_b, param] where
       param encodes the material kind: lambertian -1, metal fuzz
       (clamped to [0, 2)), dielectric 4 + ior.
 
-    Spheres are Morton-sorted. Padding rows (radius 0 at the last real
-    center) never produce a valid root and are additionally masked by the
-    ``sphere_id < n_actual`` test in the kernel.
+    Spheres are Morton-sorted. ``N_pad`` is a power of two >= 128 (the
+    radix-select gather folds the table in half repeatedly). Padding rows
+    carry ``cm2 = +1e30`` so their discriminant is always negative: they can
+    never produce a hit and the kernel needs no validity mask.
     """
     n = scene.num_objects
-    n_pad = max(-(-n // n_pad_multiple) * n_pad_multiple, n_pad_multiple)
+    n_pad = max(n_pad_multiple, 1 << max(n - 1, 1).bit_length())
 
     if n > 0:
         order = _morton_order(scene.centers)
@@ -886,6 +897,9 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
         kind = jnp.zeros((n_pad,), jnp.int32)
 
     cm2 = jnp.sum(centers * centers, axis=-1) - radii * radii
+    # Padding rows: force the sweep's discriminant negative (never-hit).
+    row_ids = jnp.arange(n_pad)
+    cm2 = jnp.where(row_ids < n, cm2, 1.0e30)
     zcol = jnp.zeros_like(radii)
     onecol = zcol + 1.0
     geom_h = jnp.stack(

@@ -230,6 +230,8 @@ class Renderer:
         self._segments = 0
         self._start_time: float | None = None
         self._end_time: float | None = None
+        self._elapsed_base = 0.0
+        self._tiles_counter = 0
         self._image_sum: jnp.ndarray | None = None
 
     # -- metric API parity with RayTracer (main.cc:547-566) -----------------
@@ -259,11 +261,12 @@ class Renderer:
 
     def render_time(self) -> float:
         """Elapsed wall-clock seconds (running timer until complete, then
-        frozen -- semantics of ``main.cc:563-566, 771-773``)."""
+        frozen -- semantics of ``main.cc:563-566, 771-773``). Across a
+        checkpoint/resume, includes the previous runs' render time."""
         if self._start_time is None:
-            return 0.0
+            return self._elapsed_base
         end = self._end_time if self._end_time is not None else time.perf_counter()
-        return end - self._start_time
+        return self._elapsed_base + (end - self._start_time)
 
     # -- work decomposition --------------------------------------------------
     def _plan(self, spp: int, total_slots: int) -> tuple[int, int]:
@@ -298,6 +301,7 @@ class Renderer:
         *,
         on_progress: ProgressCallback | None = None,
         progress_every_chunks: int = 1,
+        resume: bool = False,
     ) -> np.ndarray:
         """Render the full image; returns ``uint8[H, W, 3]``.
 
@@ -306,6 +310,13 @@ class Renderer:
         preview image -- the capability analog of the reference's live SSBO
         display + progress bars (``main.cc:378-402``,
         ``ray.tracer.image.display.cc``).
+
+        With ``resume=True`` (after a previous render or
+        ``load_checkpoint``), already-accumulated samples are kept and only
+        the remaining ``spp - samples_done`` are traced -- the sample sums
+        are linear, so the converged mean is identical to an uninterrupted
+        render with the same seed (a capability the reference lacks,
+        SURVEY.md section 5.4).
         """
         spp = int(spp if spp is not None else self.params.samples_per_pixel)
         max_depth = int(max_depth if max_depth is not None else self.params.max_depth)
@@ -334,8 +345,26 @@ class Renderer:
         total_slots = len(all_ids)
         pixel_block, chunk_spp = self._plan(spp, total_slots)
 
-        # Device framebuffer with one spill row for padded pixel ids.
-        image_sum = jnp.zeros((num_pixels + 1, 3), jnp.float32)
+        resuming = (
+            resume and self._image_sum is not None and self._samples_done > 0
+        )
+        if resuming:
+            # Keep accumulated sums; trace only the remaining samples.
+            image_sum = self._image_sum
+            sample_start = self._samples_done
+            tiles_so_far = self._tiles_counter
+            if sample_start >= spp:
+                return np.asarray(jax.device_get(_to_u8(
+                    image_sum, 1.0 / sample_start,
+                    cam.image_height, cam.image_width,
+                )))
+        else:
+            # Device framebuffer with one spill row for padded pixel ids.
+            image_sum = jnp.zeros((num_pixels + 1, 3), jnp.float32)
+            sample_start = 0
+            tiles_so_far = 0
+            self._segments = 0
+            self._elapsed_base = 0.0
 
         pad = (-total_slots) % pixel_block
         if pad:
@@ -347,15 +376,12 @@ class Renderer:
             jnp.asarray(all_ids[i : i + pixel_block]) for i in slot_bases
         ]
 
-        self._samples_done = 0
-        self._segments = 0
+        self._samples_done = sample_start
         self._start_time = time.perf_counter()
         self._end_time = None
 
         seg_handles: list[jnp.ndarray] = []
         chunk_index = 0
-        sample_start = 0
-        tiles_so_far = 0
         pallas_seed = jnp.int32(self.seed & 0x7FFFFFFF)
         if self.backend == "pallas":
             map_param = jnp.int32(rtiling.tiles_per_row(cam.image_width))
@@ -401,6 +427,10 @@ class Renderer:
                 seg_handles.append(segments)
             sample_start += this_chunk
             self._samples_done = sample_start
+            # Keep live references so Ctrl-C/checkpointing mid-render can
+            # persist the latest completed chunk.
+            self._image_sum = image_sum
+            self._tiles_counter = tiles_so_far
             chunk_index += 1
 
             if on_progress is not None and (
@@ -431,8 +461,68 @@ class Renderer:
         image_np = np.asarray(jax.device_get(image_u8))
         self._segments += int(sum(int(s) for s in seg_handles))
         self._end_time = time.perf_counter()
+        self._elapsed_base = self.render_time()
+        self._start_time = None
+        self._end_time = None
         self._image_sum = image_sum
+        self._tiles_counter = tiles_so_far
         return image_np
+
+    # -- checkpoint / resume (SURVEY.md section 5.4: absent in the reference;
+    # the accumulated sample sums make it trivial here) ----------------------
+    def _fingerprint(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        for arr in (
+            self.scene.centers, self.scene.radii, self.scene.albedo,
+            self.scene.fuzz, self.scene.ior, self.scene.mat_kind,
+        ):
+            h.update(np.asarray(arr).tobytes())
+        # samples_per_pixel is deliberately excluded: it is the render-time
+        # budget being resumed. max_depth stays in -- sums of different-depth
+        # samples would be a silently wrong mixture.
+        p = dataclasses.replace(self.params, samples_per_pixel=0)
+        h.update(repr(p).encode())
+        h.update(str(self.seed).encode())
+        return h.hexdigest()
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the accumulated radiance sums + counters to ``path``."""
+        if self._image_sum is None:
+            raise ValueError("nothing rendered yet; no state to checkpoint")
+        np.savez_compressed(
+            path,
+            image_sum=np.asarray(jax.device_get(self._image_sum)),
+            samples_done=self._samples_done,
+            segments=self._segments,
+            tiles_counter=self._tiles_counter,
+            elapsed=self._elapsed_base,
+            fingerprint=self._fingerprint(),
+        )
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore accumulated state; returns samples already done.
+
+        The checkpoint must have been produced by a renderer with the same
+        scene, camera and seed (fingerprint-checked) -- resumed sampling
+        continues the same RNG streams, so the final image equals an
+        uninterrupted render.
+        """
+        data = np.load(path, allow_pickle=False)
+        if str(data["fingerprint"]) != self._fingerprint():
+            raise ValueError(
+                "checkpoint fingerprint mismatch (different scene, camera, "
+                "or seed)"
+            )
+        self._image_sum = jnp.asarray(data["image_sum"])
+        self._samples_done = int(data["samples_done"])
+        self._segments = int(data["segments"])
+        self._tiles_counter = int(data["tiles_counter"])
+        self._elapsed_base = float(data["elapsed"])
+        self._start_time = None
+        self._end_time = None
+        return self._samples_done
 
     def mrays_per_sec(self) -> float:
         t = self.render_time()

@@ -4,8 +4,10 @@ The reference vendors ``stb_image_write.h`` but never wires it up
 (``/root/reference/src/renderer.common.cc:285-304`` is commented out;
 SURVEY.md section 5.4) -- the rendered image is never persisted. This module
 closes that capability gap: 8-bit RGB/RGBA/grayscale PNG encoding for final
-images and progressive snapshots. A faster native encoder can be slotted in
-via ``raytracing_tpu.runtime.native`` when built.
+images and progressive snapshots. When the C++ runtime helper is built
+(``make -C native``), RGB encoding routes through its Paeth-filtered encoder
+(``native/rtnative.cc``); this pure-Python writer (filter 0) is the fallback
+and handles the gray/RGBA cases.
 """
 
 from __future__ import annotations
@@ -30,6 +32,11 @@ def encode_png(image: np.ndarray, *, compress_level: int = 6) -> bytes:
         raise ValueError(f"expected [H, W, {{1,3,4}}] image, got shape {image.shape}")
 
     height, width, channels = image.shape
+    if channels == 3:
+        from . import native
+
+        if native.available():
+            return native.png_encode(image)
     color_type = _COLOR_TYPES[channels]
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
@@ -55,8 +62,8 @@ def write_png(path: str | pathlib.Path, image: np.ndarray, *, compress_level: in
 
 
 def read_png(path: str | pathlib.Path) -> np.ndarray:
-    """Decode the subset of PNG this module writes (8-bit, non-interlaced,
-    filter 0) -- sufficient for round-tripping golden images in tests."""
+    """Decode the subset of PNG this package writes (8-bit, non-interlaced,
+    filters 0/4) -- sufficient for round-tripping golden images in tests."""
     data = pathlib.Path(path).read_bytes()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG file")
@@ -82,6 +89,23 @@ def read_png(path: str | pathlib.Path) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     stride = width * channels + 1
     rows = raw.reshape(height, stride)
-    if np.any(rows[:, 0] != 0):
-        raise ValueError("unsupported PNG filter (writer uses filter 0 only)")
-    return rows[:, 1:].reshape(height, width, channels)
+    if np.all(rows[:, 0] == 0):
+        return rows[:, 1:].reshape(height, width, channels)
+    if not np.all(np.isin(rows[:, 0], (0, 4))):
+        raise ValueError("unsupported PNG filter (this package writes 0/4)")
+    # Paeth unfilter (native/rtnative.cc writes filter 4 on every row).
+    out = np.zeros((height, stride - 1), np.int32)
+    for y in range(height):
+        row = rows[y, 1:].astype(np.int32)
+        if rows[y, 0] == 0:
+            out[y] = row
+            continue
+        for x in range(stride - 1):
+            a = out[y, x - channels] if x >= channels else 0
+            b = out[y - 1, x] if y > 0 else 0
+            c = out[y - 1, x - channels] if (y > 0 and x >= channels) else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[y, x] = (row[x] + pred) & 0xFF
+    return out.astype(np.uint8).reshape(height, width, channels)

@@ -1,0 +1,239 @@
+"""Runtime shell: CLI, logging, live display, checkpoint/resume, native lib.
+
+These exercise the application-layer capabilities mapped from the reference's
+L4-L6 (SURVEY.md sections 2G/2I, 5.3-5.6): progressive display with progress
+bars + elapsed time, structured logging, clean interruption via
+checkpoint/resume, PNG persistence.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.runtime import display as rdisplay
+from raytracing_tpu.runtime.renderer import RenderProgress
+from raytracing_tpu.utils import logging as rlogging
+from raytracing_tpu.utils import native as rnative
+from raytracing_tpu.utils import png as rpng
+
+
+def _tiny_params(width=48, spp=2, depth=3):
+    return rt.CameraParameters(
+        aspect_ratio=1.5,
+        image_width=width,
+        samples_per_pixel=spp,
+        max_depth=depth,
+        vertical_fov=30.0,
+        defocus_angle=0.0,
+        focus_distance=10.0,
+        lookfrom=(0.0, 1.0, 3.0),
+        lookat=(0.0, 0.5, 0.0),
+    )
+
+
+def _tiny_scene():
+    from raytracing_tpu.scene.types import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, -100.5, 0.0), 100.0, (0.5, 0.5, 0.5))
+    b.add_lambertian_sphere((0.0, 0.5, 0.0), 0.5, (0.7, 0.3, 0.3))
+    return b.build()
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    scene = _tiny_scene()
+    params = _tiny_params(spp=4)
+
+    one_shot = rt.Renderer(scene, params, seed=7, backend="xla")
+    img_full = one_shot.render(spp=4)
+
+    first = rt.Renderer(scene, params, seed=7, backend="xla")
+    first.render(spp=2)
+    ck = str(tmp_path / "ck.npz")
+    first.save_checkpoint(ck)
+
+    second = rt.Renderer(scene, params, seed=7, backend="xla")
+    assert second.load_checkpoint(ck) == 2
+    img_resumed = second.render(spp=4, resume=True)
+
+    np.testing.assert_array_equal(img_resumed, img_full)
+    assert second.samples_done == 4
+
+
+def test_checkpoint_fingerprint_mismatch(tmp_path):
+    scene = _tiny_scene()
+    params = _tiny_params()
+    r = rt.Renderer(scene, params, seed=1, backend="xla")
+    r.render(spp=1)
+    ck = str(tmp_path / "ck.npz")
+    r.save_checkpoint(ck)
+
+    other = rt.Renderer(scene, params, seed=2, backend="xla")  # wrong seed
+    with pytest.raises(ValueError, match="fingerprint"):
+        other.load_checkpoint(ck)
+
+
+def test_checkpoint_before_render_raises(tmp_path):
+    r = rt.Renderer(_tiny_scene(), _tiny_params(), backend="xla")
+    with pytest.raises(ValueError):
+        r.save_checkpoint(str(tmp_path / "x.npz"))
+
+
+# ---------------------------------------------------------------------------
+# displays
+# ---------------------------------------------------------------------------
+
+
+def _fake_progress(img):
+    return RenderProgress(
+        samples_done=3,
+        samples_total=4,
+        pixels_count=img.shape[0] * img.shape[1],
+        segments_traced=1234,
+        elapsed_s=0.5,
+        _preview=lambda: img,
+    )
+
+
+def test_terminal_display_writes_frame_and_bars():
+    img = np.full((8, 12, 3), 128, np.uint8)
+    out = io.StringIO()
+    disp = rdisplay.TerminalDisplay(stream=out, max_width=12, max_height=8)
+    disp(_fake_progress(img))
+    text = out.getvalue()
+    assert "▀" in text                    # half-block glyphs
+    assert "38;2;128;128;128" in text          # 24-bit color
+    assert "Pixels" in text and "Samples" in text and "Elapsed" in text
+    assert "(3/4 spp)" in text
+    # Second frame rewinds the cursor instead of appending.
+    disp(_fake_progress(img))
+    assert "\x1b[" in out.getvalue()
+
+
+def test_terminal_display_downsamples_to_fit():
+    img = np.zeros((64, 64, 3), np.uint8)
+    small = rdisplay._downsample(img, 16, 16)
+    assert small.shape[0] <= 16 and small.shape[1] <= 16
+
+
+def test_file_sequence_display(tmp_path):
+    img = np.zeros((6, 6, 3), np.uint8)
+    disp = rdisplay.FileSequenceDisplay(str(tmp_path), every=2)
+    for _ in range(4):
+        disp(_fake_progress(img))
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == ["preview_0001.png", "preview_0003.png"]
+    assert rpng.read_png(tmp_path / "preview_0001.png").shape == (6, 6, 3)
+
+
+def test_compose_halfblock_python_fallback():
+    img = np.zeros((4, 3, 3), np.uint8)
+    img[0, :, 0] = 255  # top row red
+    frame = rdisplay.compose_halfblock_frame(img)
+    assert frame.count("▀") == 6  # 3 cols x 2 text rows
+    assert "38;2;255;0;0" in frame
+
+
+# ---------------------------------------------------------------------------
+# structured logging
+# ---------------------------------------------------------------------------
+
+
+def test_logging_setup_writes_timestamped_file(tmp_path):
+    path = rlogging.setup(str(tmp_path), console=False)
+    try:
+        log = rlogging.get_logger("test")
+        log.info("hello %d", 42)
+        log.debug("dbg")
+    finally:
+        rlogging.teardown()
+    assert path is not None and os.path.basename(path).startswith("raytracer_")
+    content = open(path).read()
+    assert "INFO: hello 42" in content
+    assert "DEBUG: dbg" in content
+    # quill-style pattern: [time] [thread] [file:line] LEVEL: msg
+    assert "[t:" in content and "test_runtime_shell.py:" in content
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def test_cli_end_to_end(tmp_path):
+    from raytracing_tpu import cli
+
+    out = str(tmp_path / "o.png")
+    ck = str(tmp_path / "ck.npz")
+    rc = cli.main([
+        "--width", "48", "--spp", "2", "--depth", "3",
+        "--out", out, "--backend", "xla", "--quiet",
+        "--log-dir", str(tmp_path), "--checkpoint", ck,
+        "--preview-dir", str(tmp_path / "prev"),
+    ])
+    assert rc == 0
+    img = rpng.read_png(out)
+    assert img.shape[1] == 48
+    assert os.path.exists(ck)
+    assert any(p.name.endswith(".log") for p in tmp_path.iterdir())
+    assert any((tmp_path / "prev").iterdir())
+
+    # Resuming from the finished checkpoint with more spp continues it.
+    rc = cli.main([
+        "--width", "48", "--spp", "4", "--depth", "3",
+        "--out", out, "--backend", "xla", "--quiet", "--checkpoint", ck,
+    ])
+    assert rc == 0
+    data = np.load(ck)
+    assert int(data["samples_done"]) == 4
+
+
+def test_cli_parser_defaults():
+    from raytracing_tpu import cli
+
+    args = cli.build_arg_parser().parse_args([])
+    assert args.config.endswith("world.config.json")
+    assert args.backend == "auto"
+
+
+# ---------------------------------------------------------------------------
+# native helpers (skipped when the C++ lib is not built)
+# ---------------------------------------------------------------------------
+
+needs_native = pytest.mark.skipif(
+    not rnative.available(), reason="native/librtnative.so not built"
+)
+
+
+@needs_native
+def test_native_png_roundtrip(tmp_path):
+    img = (np.random.default_rng(3).random((33, 47, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "n.png"
+    rpng.write_png(p, img)  # routes through the native encoder for RGB
+    np.testing.assert_array_equal(rpng.read_png(p), img)
+
+
+@needs_native
+def test_native_compose_matches_python_glyphs():
+    img = (np.random.default_rng(4).random((10, 7, 3)) * 255).astype(np.uint8)
+    frame = rnative.compose_halfblock(img)
+    assert frame.count("▀") == 7 * 5
+
+
+@needs_native
+def test_native_frame_pump(tmp_path):
+    img = np.full((8, 8, 3), 9, np.uint8)
+    with rnative.FramePump(str(tmp_path / "f_"), queue_depth=2) as pump:
+        pump.submit(img, 0)
+        pump.submit(img, 1)
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == ["f_0000.png", "f_0001.png"]
+    np.testing.assert_array_equal(rpng.read_png(tmp_path / "f_0000.png"), img)
