@@ -22,7 +22,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--warmup-spp", type=int, default=1)

@@ -93,6 +93,12 @@ def _f32_bits(x: float) -> int:
     return struct.unpack("<i", struct.pack("<f", x))[0]
 
 
+def _interp(flag: bool):
+    """interpret=True means the TPU interpreter (emulates the core PRNG and
+    TPU-only primitives on CPU), not the generic pallas interpreter."""
+    return pltpu.InterpretParams() if flag else False
+
+
 # ---------------------------------------------------------------------------
 # Kernel building blocks (shared by the regen and ray-input kernels)
 # ---------------------------------------------------------------------------
@@ -594,7 +600,7 @@ def _render_pixels_fused(
             jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(meta, cam_vec, geom_h, geom_c, shade)
 
     radiance = rad.reshape(3, num_slots).T
@@ -809,7 +815,7 @@ def trace_rays_fused(
             jax.ShapeDtypeStruct((3, b // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(meta, geom_h, geom_c, shade, rays)
 
     radiance = rad.reshape(3, b).T

@@ -89,3 +89,101 @@ def render_pixels_sharded(
         in_specs=(P(), P(), P(), P(AXIS_PIXELS), P()),
         out_specs=(P(AXIS_PIXELS), P()),
     )(scene, cam, base_key, pixel_ids, sample_start)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slots", "mesh", "pixel_order", "interpret"),
+)
+def render_pixels_fused_sharded(
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    slot_base: jnp.ndarray,
+    seed: jnp.ndarray,
+    tile_offset: jnp.ndarray,
+    chunk_spp: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    num_slots: int,
+    mesh: Mesh,
+    pixel_order: str = "tiled",
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Regen megakernel under ``shard_map``: the multi-chip flagship path.
+
+    Work decomposition over the (px, spp) mesh:
+      * slots (pixels) split contiguously over ``px`` -- each device runs the
+        fused kernel on its own ``num_slots / n_px`` slots (slot->pixel
+        mapping stays global via per-device ``slot_base`` offsets);
+      * the sample budget splits over ``spp`` as evenly as possible
+        (``chunk_spp`` is a runtime scalar; shard k traces
+        ``(k+1)*chunk//n - k*chunk//n`` samples from its own RNG streams),
+        partial sums combined with one ``psum`` riding ICI.
+
+    Per-device RNG streams are disjoint by construction (tile-offset
+    arithmetic), so the render is deterministic for a fixed mesh shape.
+    Returns ``(radiance_sum[num_slots, 3] sharded over px, segments)``.
+    """
+    from ..ops.pallas import trace as ptrace
+    from ..runtime import tiling as rtiling
+
+    n_px = mesh.shape[AXIS_PIXELS]
+    n_sp = mesh.shape[AXIS_SAMPLES]
+    tile = ptrace.DEFAULT_TILE_RAYS
+    if num_slots % (n_px * tile) != 0:
+        raise ValueError(
+            f"num_slots {num_slots} must divide over {n_px} px shards in "
+            f"multiples of the {tile}-slot kernel tile"
+        )
+    local_slots = num_slots // n_px
+    local_tiles = local_slots // tile
+    total_tiles = num_slots // tile
+    if pixel_order == "tiled":
+        map_param = rtiling.tiles_per_row(cam.image_width)
+    else:
+        map_param = cam.image_width
+
+    def local_fn(scene, cam, slot_base, seed, tile_offset, chunk_spp,
+                 max_depth):
+        px_idx = jax.lax.axis_index(AXIS_PIXELS)
+        sp_idx = jax.lax.axis_index(AXIS_SAMPLES)
+        base = slot_base + px_idx * jnp.int32(local_slots)
+        lo = (chunk_spp * sp_idx) // n_sp
+        hi = (chunk_spp * (sp_idx + 1)) // n_sp
+        local_spp = (hi - lo).astype(jnp.int32)
+        toff = (
+            tile_offset
+            + sp_idx * jnp.int32(total_tiles)
+            + px_idx * jnp.int32(local_tiles)
+        )
+        rad, seg = ptrace._render_pixels_fused(
+            scene,
+            cam.pixel00,
+            cam.pixel_delta_u,
+            cam.pixel_delta_v,
+            cam.center,
+            cam.defocus_disk_u,
+            cam.defocus_disk_v,
+            cam.defocus_angle,
+            jnp.int32(map_param),
+            base,
+            seed,
+            toff,
+            local_slots,
+            local_spp,
+            max_depth,
+            pixel_order=pixel_order,
+            interpret=interpret,
+        )
+        rad = jax.lax.psum(rad, AXIS_SAMPLES)
+        seg = jax.lax.psum(seg, (AXIS_PIXELS, AXIS_SAMPLES))
+        return rad, seg
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS_PIXELS), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata; the
+        # kernel is per-device-independent by construction.
+        check_vma=False,
+    )(scene, cam, slot_base, seed, tile_offset, chunk_spp, max_depth)

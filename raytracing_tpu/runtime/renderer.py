@@ -141,14 +141,13 @@ def _accumulate_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_slots", "pixel_order"),
+    static_argnames=("num_slots", "pixel_order", "mesh", "interpret"),
     donate_argnums=(0,),
 )
 def _accumulate_step_pallas(
     image_sum: jnp.ndarray,
     scene: Scene,
     cam: rcamera.DerivedCamera,
-    pixel_ids: jnp.ndarray,
     map_param: jnp.ndarray,
     slot_base: jnp.ndarray,
     pallas_seed: jnp.ndarray,
@@ -157,38 +156,77 @@ def _accumulate_step_pallas(
     max_depth: jnp.ndarray,
     num_slots: int,
     pixel_order: str,
+    mesh=None,
+    interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One regen-megakernel wave (all pixel slots x a dynamic sample chunk).
 
     ``chunk_spp``/``max_depth`` are runtime scalars so varying chunk sizes
-    never recompile (the kernel's loop bounds are data-dependent anyway)."""
+    never recompile (the kernel's loop bounds are data-dependent anyway).
+    With a mesh, the wave is sharded over the (px, spp) device axes.
+
+    ``image_sum`` lives in SLOT order (the kernel's work order), so
+    accumulation is a pure elementwise add -- no device scatter. The host
+    reorders slots -> pixels only when an image is actually fetched
+    (runtime/tiling.py mapping)."""
     from ..ops.pallas import trace as ptrace
 
-    rad_sum, segments = ptrace._render_pixels_fused(
-        scene,
-        cam.pixel00,
-        cam.pixel_delta_u,
-        cam.pixel_delta_v,
-        cam.center,
-        cam.defocus_disk_u,
-        cam.defocus_disk_v,
-        cam.defocus_angle,
-        map_param,
-        slot_base,
-        pallas_seed,
-        tile_offset,
-        num_slots,
-        chunk_spp,
-        max_depth,
-        pixel_order=pixel_order,
-    )
-    image_sum = image_sum.at[pixel_ids].add(rad_sum)
+    if mesh is not None:
+        rad_sum, segments = rshard.render_pixels_fused_sharded(
+            scene,
+            cam,
+            slot_base,
+            pallas_seed,
+            tile_offset,
+            chunk_spp,
+            max_depth,
+            num_slots,
+            mesh,
+            pixel_order=pixel_order,
+            interpret=interpret,
+        )
+    else:
+        rad_sum, segments = ptrace._render_pixels_fused(
+            scene,
+            cam.pixel00,
+            cam.pixel_delta_u,
+            cam.pixel_delta_v,
+            cam.center,
+            cam.defocus_disk_u,
+            cam.defocus_disk_v,
+            cam.defocus_angle,
+            map_param,
+            slot_base,
+            pallas_seed,
+            tile_offset,
+            num_slots,
+            chunk_spp,
+            max_depth,
+            pixel_order=pixel_order,
+            interpret=interpret,
+        )
+    image_sum = image_sum + rad_sum
     return image_sum, segments
 
 
 def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) -> jnp.ndarray:
     mean = image_sum[:-1] * jnp.float32(inv_samples)
     return rcolor.rgb_to_u8(mean).reshape(height, width, 3)
+
+
+def _slots_to_u8(slot_sum: jnp.ndarray, inv_samples: float) -> jnp.ndarray:
+    return rcolor.rgb_to_u8(slot_sum * jnp.float32(inv_samples))
+
+
+def _slots_to_image(
+    slot_u8: np.ndarray, all_ids: np.ndarray, num_pixels: int,
+    height: int, width: int,
+) -> np.ndarray:
+    """Host-side slot->pixel reorder (spill slots dropped)."""
+    img = np.zeros((num_pixels, 3), np.uint8)
+    valid = all_ids < num_pixels
+    img[all_ids[valid]] = slot_u8[valid]
+    return img.reshape(height, width, 3)
 
 
 class Renderer:
@@ -220,11 +258,11 @@ class Renderer:
             backend = "pallas" if platform in ("tpu", "axon") else "xla"
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pallas" and mesh is not None:
-            # Sharded pallas plumbing lands with multi-chip hardware testing;
-            # the sharded path currently runs the portable integrator.
-            backend = "xla"
         self.backend = backend
+        # Pallas kernels need interpret mode off-TPU (CPU mesh simulation).
+        self._pallas_interpret = jax.devices()[0].platform not in (
+            "tpu", "axon"
+        )
 
         self._samples_done = 0
         self._segments = 0
@@ -278,13 +316,18 @@ class Renderer:
         if self.backend == "pallas":
             # The regen megakernel owns whole pixel slots (one pixel per
             # slot, all chunk samples traced in-kernel), so the only split
-            # axis is spp; one dispatch always covers every slot. The chunk
-            # bound exists purely for progress-callback granularity.
+            # axis is spp; one dispatch always covers every slot (padded so
+            # slots divide evenly over the px mesh axis). The chunk bound
+            # exists purely for progress-callback granularity.
+            quantum = 1024 * (
+                self.mesh.shape["px"] if self.mesh is not None else 1
+            )
+            block = -(-total_slots // quantum) * quantum
             chunk_spp = max(
                 1,
-                min(spp, (self.max_rays_per_batch * 16) // max(total_slots, 1)),
+                min(spp, (self.max_rays_per_batch * 64) // max(block, 1)),
             )
-            return total_slots, chunk_spp
+            return block, chunk_spp
         # With a mesh, pixel blocks must divide evenly over the px axis.
         px_quantum = self.mesh.shape["px"] if self.mesh is not None else 1
         if num_pixels <= self.max_rays_per_batch:
@@ -345,6 +388,36 @@ class Renderer:
         total_slots = len(all_ids)
         pixel_block, chunk_spp = self._plan(spp, total_slots)
 
+        slot_mode = self.backend == "pallas"
+        pad = (-total_slots) % pixel_block
+        if pad:
+            all_ids = np.concatenate(
+                [all_ids, np.full(pad, num_pixels, np.int32)]
+            )
+        slot_bases = list(range(0, len(all_ids), pixel_block))
+        if slot_mode:
+            # The fused kernel accumulates in slot order; the id table stays
+            # on the host for the final reorder (no device scatter at all).
+            id_blocks = [None] * len(slot_bases)
+        else:
+            id_blocks = [
+                jnp.asarray(all_ids[i : i + pixel_block]) for i in slot_bases
+            ]
+
+        def snapshot_u8(image_sum, inv):
+            if slot_mode:
+                return _slots_to_u8(image_sum, inv)
+            return _to_u8(image_sum, inv, cam.image_height, cam.image_width)
+
+        def to_host_image(u8_dev):
+            arr = np.asarray(jax.device_get(u8_dev))
+            if slot_mode:
+                return _slots_to_image(
+                    arr, all_ids, num_pixels, cam.image_height,
+                    cam.image_width,
+                )
+            return arr
+
         resuming = (
             resume and self._image_sum is not None and self._samples_done > 0
         )
@@ -354,27 +427,17 @@ class Renderer:
             sample_start = self._samples_done
             tiles_so_far = self._tiles_counter
             if sample_start >= spp:
-                return np.asarray(jax.device_get(_to_u8(
-                    image_sum, 1.0 / sample_start,
-                    cam.image_height, cam.image_width,
-                )))
+                return to_host_image(snapshot_u8(image_sum, 1.0 / sample_start))
         else:
-            # Device framebuffer with one spill row for padded pixel ids.
-            image_sum = jnp.zeros((num_pixels + 1, 3), jnp.float32)
+            if slot_mode:
+                image_sum = jnp.zeros((len(all_ids), 3), jnp.float32)
+            else:
+                # Pixel-order framebuffer with one spill row for padded ids.
+                image_sum = jnp.zeros((num_pixels + 1, 3), jnp.float32)
             sample_start = 0
             tiles_so_far = 0
             self._segments = 0
             self._elapsed_base = 0.0
-
-        pad = (-total_slots) % pixel_block
-        if pad:
-            all_ids = np.concatenate(
-                [all_ids, np.full(pad, num_pixels, np.int32)]
-            )
-        slot_bases = list(range(0, len(all_ids), pixel_block))
-        id_blocks = [
-            jnp.asarray(all_ids[i : i + pixel_block]) for i in slot_bases
-        ]
 
         self._samples_done = sample_start
         self._start_time = time.perf_counter()
@@ -393,17 +456,21 @@ class Renderer:
                         image_sum,
                         self.scene,
                         cam,
-                        ids,
                         map_param,
                         jnp.int32(sbase),
                         pallas_seed,
                         jnp.int32(tiles_so_far),
                         jnp.int32(this_chunk),
                         jnp.int32(max_depth),
-                        len(ids),
+                        pixel_block,
                         pixel_order,
+                        self.mesh,
+                        self._pallas_interpret,
                     )
-                    tiles_so_far += len(ids) // 1024
+                    n_sp = (
+                        self.mesh.shape["spp"] if self.mesh is not None else 1
+                    )
+                    tiles_so_far += (pixel_block // 1024) * n_sp
                 else:
                     image_sum, segments = _accumulate_step(
                         image_sum,
@@ -443,9 +510,7 @@ class Renderer:
                 # Convert the snapshot to u8 NOW (cheap, on device, and safe
                 # against buffer donation by later steps); fetching to host is
                 # deferred until .preview() is actually called.
-                snapshot_u8 = _to_u8(
-                    image_sum, 1.0 / done, cam.image_height, cam.image_width
-                )
+                snap = snapshot_u8(image_sum, 1.0 / done)
                 on_progress(
                     RenderProgress(
                         samples_done=done,
@@ -453,12 +518,11 @@ class Renderer:
                         pixels_count=num_pixels,
                         segments_traced=self._segments,
                         elapsed_s=self.render_time(),
-                        _preview=lambda s=snapshot_u8: np.asarray(jax.device_get(s)),
+                        _preview=lambda s=snap: to_host_image(s),
                     )
                 )
 
-        image_u8 = _to_u8(image_sum, 1.0 / spp, cam.image_height, cam.image_width)
-        image_np = np.asarray(jax.device_get(image_u8))
+        image_np = to_host_image(snapshot_u8(image_sum, 1.0 / spp))
         self._segments += int(sum(int(s) for s in seg_handles))
         self._end_time = time.perf_counter()
         self._elapsed_base = self.render_time()
@@ -499,6 +563,9 @@ class Renderer:
             tiles_counter=self._tiles_counter,
             elapsed=self._elapsed_base,
             fingerprint=self._fingerprint(),
+            # Framebuffer layout: the pallas backend accumulates in kernel
+            # slot order, the xla backend in pixel order (+ spill row).
+            layout="slot" if self.backend == "pallas" else "pixel",
         )
 
     def load_checkpoint(self, path: str) -> int:
@@ -514,6 +581,14 @@ class Renderer:
             raise ValueError(
                 "checkpoint fingerprint mismatch (different scene, camera, "
                 "or seed)"
+            )
+        layout = str(data["layout"]) if "layout" in data else "pixel"
+        expected = "slot" if self.backend == "pallas" else "pixel"
+        if layout != expected:
+            raise ValueError(
+                f"checkpoint framebuffer layout {layout!r} does not match "
+                f"the {self.backend!r} backend's {expected!r} layout; resume "
+                "with the backend that produced the checkpoint"
             )
         self._image_sum = jnp.asarray(data["image_sum"])
         self._samples_done = int(data["samples_done"])
