@@ -143,31 +143,33 @@ def _sweep(geh_ref, gec_ref, ids_col, rows, *, n_pad, t_sub):
         # sign as t (a > 0 constant per ray), so the interval test t > T_MIN
         # becomes n > T_MIN * a and no per-pair division is needed.
         delta = h * h - a[sl] * cq
-        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        # No max(delta, 0): sqrt of a negative gives NaN, every compare with
+        # NaN is false, so misses fall through to the BIG key with no
+        # explicit delta >= 0 test.
+        sq = jnp.sqrt(delta)
         n1 = h - sq
         n2 = h + sq
         nroot = jnp.where(n1 > ta[sl], n1, n2)
-        ok = (delta >= 0.0) & (nroot > ta[sl])
-        key = jnp.where(ok, nroot, _BIGF)
+        key = jnp.where(nroot > ta[sl], nroot, _BIGF)
         ki = (pltpu.bitcast(key, jnp.int32) & ~pack_mask) | ids_col
         kmin_rows.append(jnp.min(ki, axis=0, keepdims=True))
     return jnp.concatenate(kmin_rows, axis=0)
 
 
 def _gather(shade_ref, imin, *, n_pad, t_sub):
-    """Radix-select fetch of the winning sphere's 8 shading attrs.
+    """Radix-select fetch of the winning sphere's 6 shading table columns.
 
     A binary tournament on the bits of ``imin`` folds each (N_pad, 1) table
     column in half log2(N_pad) times -- O(N) selects total per attribute
     (vs O(N) multiply + O(N) reduce-add for a one-hot mask-reduce, measured
     ~2x slower) -- then three sublane rotate-select rounds collapse the last
     8 rows. Requires ``n_pad`` to be a power of two (pack_scene guarantees).
-
     Returns 8 arrays of shape (t_sub, 128):
-    cx, cy, cz, r, alb_r, alb_g, alb_b, param.
+    cx, cy, cz, r, alb_r, alb_g, alb_b, param (material words decoded from
+    the 16-bit packed columns; see pack_scene).
     """
-    outs = [[] for _ in range(8)]
-    cols = [shade_ref[:, j : j + 1] for j in range(8)]
+    outs = [[] for _ in range(6)]
+    cols = [shade_ref[:, j : j + 1] for j in range(6)]
     nbits = _pack_bits(n_pad)
     for g in range(t_sub):
         sel = imin[g : g + 1]  # (1, 128)
@@ -177,13 +179,26 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
             size = n_pad
             while size > 8:
                 half = size // 2
-                t = jnp.where(bit[half.bit_length() - 1], t[half:size], t[:half])
+                t = jnp.where(
+                    bit[half.bit_length() - 1], t[half:size], t[:half]
+                )
                 size = half
             for shift in (4, 2, 1):
                 rolled = pltpu.roll(t, 8 - shift, axis=0)
                 t = jnp.where(bit[shift.bit_length() - 1], rolled, t)
             outs[j].append(t[0:1])
-    return tuple(jnp.concatenate(o, axis=0) for o in outs)
+    cxb, cyb, czb, rb, w1, w2 = (
+        jnp.concatenate(o, axis=0) for o in outs
+    )
+    # Decode the 16-bit packed material words (pack_scene encoding).
+    w1i = pltpu.bitcast(w1, jnp.int32)
+    w2i = pltpu.bitcast(w2, jnp.int32)
+    inv16 = jnp.float32(1.0 / 65535.0)
+    albr = ((w1i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    albg = (w1i & 0xFFFF).astype(jnp.float32) * inv16
+    albb = ((w2i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    param = (w2i & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 4096.0) - 2.0
+    return cxb, cyb, czb, rb, albr, albg, albb, param
 
 
 def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
@@ -210,7 +225,6 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     nohit_key = _f32_bits(_BIGF) & ~pack_mask
     hitm = kmin < nohit_key
     imin = kmin & pack_mask
-
     cxb, cyb, czb, rb, albr, albg, albb, param = _gather(
         shade_ref, imin, n_pad=n_pad, t_sub=t_sub
     )
@@ -864,9 +878,13 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
       ``h = d . (c - o)``.
     * ``geom_c`` cols 0-3 [-2cx, -2cy, -2cz, |c|^2 - r^2]: constants for the
       sweep's ``cq = |o - c|^2 - r^2 = cm2 - 2 c.o + o.o``.
-    * ``shade`` rows [cx, cy, cz, r, alb_r, alb_g, alb_b, param] where
-      param encodes the material kind: lambertian -1, metal fuzz
-      (clamped to [0, 2)), dielectric 4 + ior.
+    * ``shade`` rows [cx, cy, cz, r, w1, w2, 0, 0]: full-precision geometry
+      plus two 16-bit-packed material words (bit patterns stored as f32 --
+      the kernel's gather is bit-preserving): w1 = alb_r16 | alb_g16,
+      w2 = alb_b16 | param16 with albedo quantized x65535 and
+      param16 = round((param + 2) * 4096), where param encodes the material
+      kind: lambertian -1, metal fuzz (clamped to [0, 2)), dielectric
+      4 + ior (ior clamped to < 10 by the encoding range).
 
     Spheres are Morton-sorted. ``N_pad`` is a power of two >= 128 (the
     radix-select gather folds the table in half repeatedly). Padding rows
@@ -923,11 +941,23 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     param = jnp.where(
         kindf < 0.5,
         -1.0,
-        jnp.where(kindf < 1.5, jnp.clip(fuzz, 0.0, 1.999), 4.0 + ior),
+        jnp.where(
+            kindf < 1.5,
+            jnp.clip(fuzz, 0.0, 1.999),
+            4.0 + jnp.clip(ior, 0.0, 9.99),
+        ),
     )
+    a16 = jnp.round(jnp.clip(albedo, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    p16 = jnp.round((param + 2.0) * 4096.0).astype(jnp.int32)
+    w1 = (a16[:, 0] << 16) | a16[:, 1]
+    w2 = (a16[:, 2] << 16) | p16
+    import numpy as _np
+
+    w1f = jax.lax.bitcast_convert_type(w1, jnp.float32)
+    w2f = jax.lax.bitcast_convert_type(w2, jnp.float32)
     shade = jnp.stack(
         [centers[:, 0], centers[:, 1], centers[:, 2], radii,
-         albedo[:, 0], albedo[:, 1], albedo[:, 2], param],
+         w1f, w2f, zcol, zcol],
         axis=1,
     )
     return (

@@ -160,15 +160,27 @@ def test_pack_scene_padding():
     np.testing.assert_allclose(
         np.asarray(geom_c[0]), [-0.5, -1.0, 2.0, cm2, 1, 0, 0, 0], atol=1e-6
     )
-    # shade = [c, r, albedo, param]; lambertian param = -1.
+    # shade = [c, r, w1, w2]; material words 16-bit packed.
     np.testing.assert_allclose(
-        np.asarray(shade[0]),
-        [0.25, 0.5, -1.0, 0.5, 0.7, 0.3, 0.3, -1.0],
-        atol=1e-6,
+        np.asarray(shade[0, :4]), [0.25, 0.5, -1.0, 0.5], atol=1e-6
+    )
+    albr, albg, albb, param = _decode_material(shade[0])
+    np.testing.assert_allclose(
+        [albr, albg, albb, param], [0.7, 0.3, 0.3, -1.0], atol=3e-4
     )
     # Padding spheres: radius 0 at the last real center -> can never hit.
     assert float(shade[5, 3]) == 0.0
     assert float(shade[5, 0]) == 0.25
+
+
+def _decode_material(shade_row):
+    w1 = np.asarray(shade_row[4:5]).view(np.int32)[0]
+    w2 = np.asarray(shade_row[5:6]).view(np.int32)[0]
+    albr = ((w1 >> 16) & 0xFFFF) / 65535.0
+    albg = (w1 & 0xFFFF) / 65535.0
+    albb = ((w2 >> 16) & 0xFFFF) / 65535.0
+    param = (w2 & 0xFFFF) / 4096.0 - 2.0
+    return albr, albg, albb, param
 
 
 def test_pack_scene_param_encoding():
@@ -184,7 +196,8 @@ def test_pack_scene_param_encoding():
     for cx, want in [(0.0, -1.0), (3.0, 0.25), (6.0, 5.5)]:
         row = np.flatnonzero(np.abs(shade[:n, 0] - cx) < 1e-6)
         assert len(row) == 1
-        np.testing.assert_allclose(shade[row[0], 7], want, atol=1e-6)
+        _, _, _, param = _decode_material(shade[row[0]])
+        np.testing.assert_allclose(param, want, atol=3e-4)
 
 
 def test_pack_scene_morton_preserves_materials():
@@ -201,7 +214,8 @@ def test_pack_scene_morton_preserves_materials():
     for row in range(n):
         radius = float(shade[row, 3])
         i = round((radius - 0.1) / 0.01)
-        np.testing.assert_allclose(float(shade[row, 4]), i / 50.0, atol=1e-5)
+        albr, _, _, _ = _decode_material(np.asarray(shade[row]))
+        np.testing.assert_allclose(albr, i / 50.0, atol=3e-4)
 
 
 def test_tiled_pixel_order_host_table():
