@@ -15,6 +15,34 @@ One Weekend" renderer) for TPU hardware:
 See SURVEY.md at the repo root for the reference layer map this mirrors.
 """
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA/Mosaic compilation cache (opt-out via env).
+
+    The fused render kernels take minutes to compile per image shape; caching
+    the executables on disk makes every process after the first start
+    instantly. Set ``RT_NO_COMPILE_CACHE=1`` or pre-set
+    ``JAX_COMPILATION_CACHE_DIR`` to control this.
+    """
+    if _os.environ.get("RT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/raytracing_tpu/xla"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from .core.camera import CameraParameters, DerivedCamera, derive
 from .scene.config import (
     WorldDefinition,

@@ -209,6 +209,49 @@ def _accumulate_step_pallas(
     return image_sum, segments
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slots", "pixel_order", "interpret"),
+)
+def _frame_step(
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    map_param: jnp.ndarray,
+    pallas_seed: jnp.ndarray,
+    tile_offset: jnp.ndarray,
+    spp: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    num_slots: int,
+    pixel_order: str,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot interactive frame: trace + tonemap fused into a single
+    dispatch (no accumulation buffer). Returns (u8 slots, segments)."""
+    from ..ops.pallas import trace as ptrace
+
+    rad_sum, segments = ptrace._render_pixels_fused(
+        scene,
+        cam.pixel00,
+        cam.pixel_delta_u,
+        cam.pixel_delta_v,
+        cam.center,
+        cam.defocus_disk_u,
+        cam.defocus_disk_v,
+        cam.defocus_angle,
+        map_param,
+        jnp.int32(0),
+        pallas_seed,
+        tile_offset,
+        num_slots,
+        spp,
+        max_depth,
+        pixel_order=pixel_order,
+        interpret=interpret,
+    )
+    inv = 1.0 / jnp.maximum(spp.astype(jnp.float32), 1.0)
+    return rcolor.rgb_to_u8(rad_sum * inv), segments
+
+
 def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) -> jnp.ndarray:
     mean = image_sum[:-1] * jnp.float32(inv_samples)
     return rcolor.rgb_to_u8(mean).reshape(height, width, 3)
@@ -345,6 +388,7 @@ class Renderer:
         on_progress: ProgressCallback | None = None,
         progress_every_chunks: int = 1,
         resume: bool = False,
+        as_device_array: bool = False,
     ) -> np.ndarray:
         """Render the full image; returns ``uint8[H, W, 3]``.
 
@@ -360,6 +404,12 @@ class Renderer:
         are linear, so the converged mean is identical to an uninterrupted
         render with the same seed (a capability the reference lacks,
         SURVEY.md section 5.4).
+
+        With ``as_device_array=True`` the converged uint8 image is returned
+        as a DEVICE array without waiting for the transfer (dispatch is
+        async); convert it later with ``fetch_image``. This lets an
+        interactive caller overlap the next frame's compute with the
+        previous frame's readback (examples/orbit_demo.py).
         """
         spp = int(spp if spp is not None else self.params.samples_per_pixel)
         max_depth = int(max_depth if max_depth is not None else self.params.max_depth)
@@ -522,7 +572,8 @@ class Renderer:
                     )
                 )
 
-        image_np = to_host_image(snapshot_u8(image_sum, 1.0 / spp))
+        image_u8_dev = snapshot_u8(image_sum, 1.0 / spp)
+        image_np = None if as_device_array else to_host_image(image_u8_dev)
         self._segments += int(sum(int(s) for s in seg_handles))
         self._end_time = time.perf_counter()
         self._elapsed_base = self.render_time()
@@ -530,7 +581,53 @@ class Renderer:
         self._end_time = None
         self._image_sum = image_sum
         self._tiles_counter = tiles_so_far
+        self._slot_ids = all_ids if slot_mode else None
+        if as_device_array:
+            return image_u8_dev
         return image_np
+
+    def render_frame(self, spp: int | None = None, max_depth: int | None = None):
+        """Interactive path: one fused dispatch per frame, returning the
+        DEVICE u8 image (slot order) without sync -- pair with
+        ``fetch_image``. Uses the pallas backend's tiled slot order; advances
+        the RNG tile counter so consecutive frames draw fresh samples."""
+        if self.backend != "pallas":
+            raise ValueError("render_frame requires the pallas backend")
+        spp = int(spp if spp is not None else self.params.samples_per_pixel)
+        max_depth = int(
+            max_depth if max_depth is not None else self.params.max_depth
+        )
+        cam = self.camera
+        slots = rtiling.num_slots(cam.image_width, cam.image_height)
+        self._slot_ids = rtiling.tiled_pixel_ids(
+            cam.image_width, cam.image_height
+        )
+        dev, segments = _frame_step(
+            self.scene,
+            cam,
+            jnp.int32(rtiling.tiles_per_row(cam.image_width)),
+            jnp.int32(self.seed & 0x7FFFFFFF),
+            jnp.int32(self._tiles_counter),
+            jnp.int32(spp),
+            jnp.int32(max_depth),
+            slots,
+            "tiled",
+            self._pallas_interpret,
+        )
+        self._tiles_counter += slots // 1024
+        self._frame_segments = segments  # device scalar; sync lazily
+        return dev
+
+    def fetch_image(self, u8_dev) -> np.ndarray:
+        """Device u8 array from ``render(as_device_array=True)`` -> host
+        ``uint8[H, W, 3]`` (slot->pixel reorder included)."""
+        arr = np.asarray(jax.device_get(u8_dev))
+        if arr.ndim == 2:  # slot order
+            return _slots_to_image(
+                arr, self._slot_ids, self.pixels_count,
+                self.camera.image_height, self.camera.image_width,
+            )
+        return arr
 
     # -- checkpoint / resume (SURVEY.md section 5.4: absent in the reference;
     # the accumulated sample sums make it trivial here) ----------------------

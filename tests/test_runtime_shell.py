@@ -237,3 +237,36 @@ def test_native_frame_pump(tmp_path):
     files = sorted(p.name for p in tmp_path.iterdir())
     assert files == ["f_0000.png", "f_0001.png"]
     np.testing.assert_array_equal(rpng.read_png(tmp_path / "f_0000.png"), img)
+
+
+# ---------------------------------------------------------------------------
+# interactive single-dispatch frames
+# ---------------------------------------------------------------------------
+
+
+def test_render_frame_matches_render():
+    """The fused one-dispatch frame path produces the same image as a full
+    render at equal spp (pallas backend, interpret mode on CPU; deterministic
+    because interpret-mode PRNG draws are zeros)."""
+    from raytracing_tpu.scene.types import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_metallic_sphere((0.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.0)
+    scene = b.build()
+    params = _tiny_params(width=64, spp=2, depth=4)
+
+    r = rt.Renderer(scene, params, seed=0, backend="pallas")
+    full = r.render(spp=2)
+
+    r2 = rt.Renderer(scene, params, seed=0, backend="pallas")
+    dev = r2.render_frame(spp=2)
+    frame = r2.fetch_image(dev)
+    assert frame.shape == full.shape
+    np.testing.assert_array_equal(frame, full)
+
+
+def test_render_frame_requires_pallas():
+    r = rt.Renderer(_tiny_scene(), _tiny_params(), backend="xla")
+    with pytest.raises(ValueError, match="pallas"):
+        r.render_frame(spp=1)
