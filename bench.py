@@ -26,21 +26,37 @@ def main() -> None:
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--warmup-spp", type=int, default=1)
+    ap.add_argument(
+        "--scene", default="cover",
+        help="'cover' (488-sphere reference scene) or 'stress:<N>' "
+        "(procedural N-sphere grid, scaling characterization)",
+    )
     args = ap.parse_args()
 
     import dataclasses
 
     import raytracing_tpu as rt
 
-    world = rt.load_world("data/config/world.config.json")
-    params = dataclasses.replace(
-        world.camera,
-        aspect_ratio=16.0 / 9.0,
-        image_width=args.width,
-        samples_per_pixel=args.spp,
-        max_depth=args.depth,
-    )
-    _, scene = rt.build_world(dataclasses.replace(world, camera=params))
+    if args.scene.startswith("stress:"):
+        n = int(args.scene.split(":", 1)[1])
+        cam0, scene = rt.make_world_stress(n, image_width=args.width)
+        params = dataclasses.replace(
+            cam0,
+            aspect_ratio=16.0 / 9.0,
+            image_width=args.width,
+            samples_per_pixel=args.spp,
+            max_depth=args.depth,
+        )
+    else:
+        world = rt.load_world("data/config/world.config.json")
+        params = dataclasses.replace(
+            world.camera,
+            aspect_ratio=16.0 / 9.0,
+            image_width=args.width,
+            samples_per_pixel=args.spp,
+            max_depth=args.depth,
+        )
+        _, scene = rt.build_world(dataclasses.replace(world, camera=params))
 
     renderer = rt.Renderer(scene, params, seed=0)
     # Warmup: compile every wave shape once.
@@ -63,7 +79,7 @@ def main() -> None:
                 "vs_baseline": round(mrays / target, 4),
                 "wall_s": round(wall, 3),
                 "segments": segments,
-                "config": f"{params.image_width}x{params.image_height}@{args.spp}spp depth{args.depth} 488 spheres",
+                "config": f"{params.image_width}x{params.image_height}@{args.spp}spp depth{args.depth} {scene.num_objects} spheres",
             }
         )
     )

@@ -50,6 +50,7 @@ from .scene.config import (
     load_and_build,
     load_world,
     make_world_basic,
+    make_world_stress,
 )
 from .scene.types import MaterialKind, Scene, SceneBuilder
 from .runtime.renderer import Renderer, RenderProgress
@@ -65,6 +66,7 @@ __all__ = [
     "load_and_build",
     "load_world",
     "make_world_basic",
+    "make_world_stress",
     "MaterialKind",
     "Scene",
     "SceneBuilder",

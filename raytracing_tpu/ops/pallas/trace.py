@@ -62,6 +62,8 @@ from ...scene.types import Scene
 DEFAULT_TILE_RAYS = 1024
 # Scene padding quantum (rows of the sphere tables).
 _SPHERE_BLOCK = 128
+# Sphere rows processed per sweep step (bounds VMEM intermediates).
+_SWEEP_ROWS = 512
 
 _T_MIN = 1.0e-4          # hit interval lower bound (core.cc:243)
 _BIGF = 3.0e38           # "no hit" key (positive-float == int ordering)
@@ -104,15 +106,16 @@ def _interp(flag: bool):
 # ---------------------------------------------------------------------------
 
 
-def _sweep(geh_ref, gec_ref, ids_col, rows, *, n_pad, t_sub):
+def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
     """Closest-hit over all spheres for a full (t_sub, 128) ray tile.
 
-    Pure VPU broadcast arithmetic: each inner step tests an (N_pad, 1) sphere
-    column against a (1, 128) ray group giving (N_pad, 128) candidate roots.
-    (A formulation of the two inner products as (N,8)x(8,128) MXU matmuls was
-    measured SLOWER -- Mosaic pads tiny-K matmuls -- so the sweep stays on the
-    VPU.) Padding rows carry cq = +1e30 so their discriminant is always
-    negative: no separate validity mask is needed.
+    Pure VPU broadcast arithmetic: each inner step tests a sphere-block
+    column slice against a (1, 128) ray group giving (block, 128) candidate
+    roots, folded into a running packed-key minimum -- VMEM stays O(block),
+    not O(N), so arbitrarily large scenes fit. (A formulation of the two
+    inner products as MXU matmuls was measured SLOWER -- Mosaic pads tiny-K
+    matmuls -- so the sweep stays on the VPU.) Padding rows carry
+    cq = +1e30 so their discriminant is always negative: no validity mask.
 
     Returns ``kmin i32 (t_sub, 128)``: bits of the winning (quantized)
     near-root with the sphere id packed in the low ``_pack_bits`` bits
@@ -124,35 +127,59 @@ def _sweep(geh_ref, gec_ref, ids_col, rows, *, n_pad, t_sub):
     o_dot_o = ox * ox + oy * oy + oz * oz
     ta = _T_MIN * a
     pack_mask = (1 << _pack_bits(n_pad)) - 1
+    blk = min(n_pad, _SWEEP_ROWS)
+    nohit = jnp.full((1, 128), _f32_bits(_BIGF) & ~pack_mask, jnp.int32)
 
-    cx = geh_ref[:, 0:1]
-    cy = geh_ref[:, 1:2]
-    cz = geh_ref[:, 2:3]
-    m2cx = gec_ref[:, 0:1]
-    m2cy = gec_ref[:, 1:2]
-    m2cz = gec_ref[:, 2:3]
-    cm2 = gec_ref[:, 3:4]
+    n_blocks = n_pad // blk
+    blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
     kmin_rows = []
     for g in range(t_sub):
         sl = slice(g, g + 1)
-        # h = d.(c-o); cq = |o-c|^2 - r^2   (object.defs.cc:43-46)
-        h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
-        cq = cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl] + o_dot_o[sl]
-        # Unscaled roots n = a*t = h -+ sqrt(h^2 - a*cq): same ordering and
-        # sign as t (a > 0 constant per ray), so the interval test t > T_MIN
-        # becomes n > T_MIN * a and no per-pair division is needed.
-        delta = h * h - a[sl] * cq
-        # No max(delta, 0): sqrt of a negative gives NaN, every compare with
-        # NaN is false, so misses fall through to the BIG key with no
-        # explicit delta >= 0 test.
-        sq = jnp.sqrt(delta)
-        n1 = h - sq
-        n2 = h + sq
-        nroot = jnp.where(n1 > ta[sl], n1, n2)
-        key = jnp.where(nroot > ta[sl], nroot, _BIGF)
-        ki = (pltpu.bitcast(key, jnp.int32) & ~pack_mask) | ids_col
-        kmin_rows.append(jnp.min(ki, axis=0, keepdims=True))
+
+        def blk_step(b, kmin_g, sl=sl):
+            base = pl.multiple_of(b * blk, blk)
+            cx = geh_ref[pl.ds(base, blk), 0:1]
+            cy = geh_ref[pl.ds(base, blk), 1:2]
+            cz = geh_ref[pl.ds(base, blk), 2:3]
+            m2cx = gec_ref[pl.ds(base, blk), 0:1]
+            m2cy = gec_ref[pl.ds(base, blk), 1:2]
+            m2cz = gec_ref[pl.ds(base, blk), 2:3]
+            cm2 = gec_ref[pl.ds(base, blk), 3:4]
+            # h = d.(c-o); cq = |o-c|^2 - r^2   (object.defs.cc:43-46)
+            h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
+            cq = (
+                cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl]
+                + o_dot_o[sl]
+            )
+            # Unscaled roots n = a*t = h -+ sqrt(h^2 - a*cq): same ordering
+            # and sign as t (a > 0 constant per ray), so the interval test
+            # t > T_MIN becomes n > T_MIN * a with no per-pair division. No
+            # max(delta, 0): sqrt of a negative gives NaN and every compare
+            # with NaN is false, so misses fall through to the BIG key free.
+            delta = h * h - a[sl] * cq
+            sq = jnp.sqrt(delta)
+            n1 = h - sq
+            n2 = h + sq
+            nroot = jnp.where(n1 > ta[sl], n1, n2)
+            key = jnp.where(nroot > ta[sl], nroot, _BIGF)
+            ki = (
+                (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
+                | (blk_ids + base)
+            )
+            return jnp.minimum(kmin_g, jnp.min(ki, axis=0, keepdims=True))
+
+        if n_blocks == 1:
+            kmin_g = blk_step(0, nohit)
+        else:
+            # fori_loop (not unrolled python) so Mosaic's stack allocator
+            # reuses one block's intermediates instead of summing them all.
+            # (A per-window bounding-sphere cull was tried here and measured
+            # NEUTRAL-to-negative on stress scenes: group-coherent bounds
+            # over 512 Morton rows are too coarse to reject -- one window
+            # holding the radius-1000 ground sphere covers every ray.)
+            kmin_g = jax.lax.fori_loop(0, n_blocks, blk_step, nohit)
+        kmin_rows.append(kmin_g)
     return jnp.concatenate(kmin_rows, axis=0)
 
 
@@ -171,12 +198,30 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     outs = [[] for _ in range(6)]
     cols = [shade_ref[:, j : j + 1] for j in range(6)]
     nbits = _pack_bits(n_pad)
+    win = min(n_pad, _SWEEP_ROWS)
+    win_bits = win.bit_length() - 1
     for g in range(t_sub):
         sel = imin[g : g + 1]  # (1, 128)
-        bit = [((sel >> k) & 1) > 0 for k in range(nbits)]
+        bit = [((sel >> k) & 1) > 0 for k in range(win_bits)]
+        blk = sel >> win_bits  # winner's window index (1, 128)
         for j, col in enumerate(cols):
-            t = col
-            size = n_pad
+            if n_pad > win:
+                # Collapse to the winner's ``win``-row window with a
+                # bit-preserving select fori over window slices: VMEM
+                # intermediates stay O(win), independent of scene size.
+                nb = n_pad // win
+
+                def wsel(b, t, j=j):
+                    base = pl.multiple_of(b * win, win)
+                    wcol = shade_ref[pl.ds(base, win), j : j + 1]
+                    return jnp.where(blk == b, wcol, t)
+
+                t = jax.lax.fori_loop(
+                    0, nb, wsel, jnp.zeros((win, 128), jnp.float32)
+                )
+            else:
+                t = col
+            size = win
             while size > 8:
                 half = size // 2
                 t = jnp.where(
@@ -205,7 +250,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
     Args:
-      refs: (geh_ref, gec_ref, shade_ref, ids_col).
+      refs: (geh_ref, gec_ref, shade_ref).
       rows: ray state (ox, oy, oz, dx, dy, dz).
       uniforms: three U[0,1) draws (unit-sphere z/azimuth, Schlick).
 
@@ -213,7 +258,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     rgb, scat_ok (bool: hit ray survives the scatter), sky rgb (unweighted
     background for this direction).
     """
-    geh_ref, gec_ref, shade_ref, ids_col = refs
+    geh_ref, gec_ref, shade_ref = refs
     ox, oy, oz, dx, dy, dz = rows
     u1, u2, u3 = uniforms
     pack_mask = (1 << _pack_bits(n_pad)) - 1
@@ -221,7 +266,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     a = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
 
-    kmin = _sweep(geh_ref, gec_ref, ids_col, rows, n_pad=n_pad, t_sub=t_sub)
+    kmin = _sweep(geh_ref, gec_ref, rows, n_pad=n_pad, t_sub=t_sub)
     nohit_key = _f32_bits(_BIGF) & ~pack_mask
     hitm = kmin < nohit_key
     imin = kmin & pack_mask
@@ -427,8 +472,7 @@ def _regen_kernel(
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
 
-    ids_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-    refs = (geh_ref, gec_ref, shade_ref, ids_col)
+    refs = (geh_ref, gec_ref, shade_ref)
 
     pxf, pyf = _slot_pixels(meta_ref, tile_shape, pixel_order=pixel_order)
 
@@ -560,7 +604,7 @@ def _render_pixels_fused(
     num_tiles = num_slots // tile_rays
     t_sub = tile_rays // 128
 
-    geom_h, geom_c, shade, n_actual = pack_scene(scene)
+    geom_h, geom_c, shade, _, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
 
     meta = (
@@ -681,8 +725,7 @@ def _trace_kernel(
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
 
-    ids_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-    refs = (geh_ref, gec_ref, shade_ref, ids_col)
+    refs = (geh_ref, gec_ref, shade_ref)
 
     zero = jnp.zeros(tile_shape, jnp.float32)
     one = zero + 1.0
@@ -784,7 +827,7 @@ def trace_rays_fused(
     num_tiles = b // tile_rays
     t_sub = tile_rays // 128
 
-    geom_h, geom_c, shade, n_actual = pack_scene(scene)
+    geom_h, geom_c, shade, _, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
 
     rays = jnp.concatenate([origins.T, directions.T], axis=0)  # (6, B)
@@ -960,9 +1003,39 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
          w1f, w2f, zcol, zcol],
         axis=1,
     )
+    # Per-window bounding spheres for the sweep's conservative cull:
+    # center = bbox midpoint of the window's REAL sphere centers, radius =
+    # max(|c_i - bc| + r_i) over real rows (padding rows never hit and must
+    # not inflate the bound; an all-padding window gets a zero bound that
+    # can never pass the cull test).
+    win = min(n_pad, _SWEEP_ROWS)
+    n_win = n_pad // win
+    realw = (row_ids < n).reshape(n_win, win)
+    cwin = centers.reshape(n_win, win, 3)
+    rwin = radii.reshape(n_win, win)
+    big = 1.0e30
+    clo = jnp.min(jnp.where(realw[..., None], cwin, big), axis=1)
+    chi = jnp.max(jnp.where(realw[..., None], cwin, -big), axis=1)
+    any_real = realw.any(axis=1, keepdims=False)
+    # All-padding windows: park the bound at 1e30 so the cull quadratic
+    # degenerates to NaN and the window is always skipped.
+    bc = jnp.where(any_real[:, None], 0.5 * (clo + chi), 1.0e30)
+    br = jnp.max(
+        jnp.where(
+            realw,
+            jnp.linalg.norm(cwin - bc[:, None, :], axis=-1) + rwin,
+            0.0,
+        ),
+        axis=1,
+    )
+    br = jnp.where(any_real, br, 0.0)
+    bounds = jnp.concatenate(
+        [bc, br[:, None], jnp.zeros((n_win, 4), jnp.float32)], axis=1
+    )
     return (
         geom_h.astype(jnp.float32),
         geom_c.astype(jnp.float32),
         shade.astype(jnp.float32),
+        bounds.astype(jnp.float32),
         n,
     )

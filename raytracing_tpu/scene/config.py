@@ -298,6 +298,61 @@ def make_world_basic() -> tuple[CameraParameters, Scene]:
     return camera, builder.build()
 
 
+def make_world_stress(
+    n_spheres: int = 2048,
+    *,
+    seed: int = 0,
+    image_width: int = 1200,
+) -> tuple[CameraParameters, Scene]:
+    """Procedural N-sphere stress scene (goes beyond the reference's fixed
+    488-sphere cover scene; used to characterize throughput scaling with
+    scene size -- the sweep is O(N) per ray segment).
+
+    A ground sphere plus ``n_spheres - 1`` small spheres jittered on a
+    square grid, 70/20/10 lambertian/metal/dielectric, with a camera pulled
+    back to frame the whole field.
+    """
+    rng = np.random.default_rng(seed)
+    builder = SceneBuilder()
+    builder.add_lambertian_sphere((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    side = int(np.ceil(np.sqrt(max(n_spheres - 1, 1))))
+    placed = 0
+    for i in range(side):
+        for j in range(side):
+            if placed >= n_spheres - 1:
+                break
+            x = (i - side / 2) * 1.2 + rng.uniform(-0.4, 0.4)
+            z = (j - side / 2) * 1.2 + rng.uniform(-0.4, 0.4)
+            r = rng.uniform(0.15, 0.3)
+            center = (x, r, z)
+            m = rng.uniform()
+            if m < 0.7:
+                builder.add_lambertian_sphere(
+                    center, r, tuple(rng.uniform(0.0, 1.0, 3))
+                )
+            elif m < 0.9:
+                builder.add_metallic_sphere(
+                    center, r, tuple(rng.uniform(0.5, 1.0, 3)),
+                    rng.uniform(0.0, 0.4),
+                )
+            else:
+                builder.add_dielectric_sphere(center, r, 1.5)
+            placed += 1
+    camera = CameraParameters(
+        aspect_ratio=16.0 / 9.0,
+        image_width=image_width,
+        samples_per_pixel=8,
+        max_depth=8,
+        vertical_fov=20.0,
+        defocus_angle=0.0,
+        focus_distance=side * 1.2,
+        lookfrom=(side * 0.9, side * 0.25, side * 0.9),
+        lookat=(0.0, 0.0, 0.0),
+        world_up=(0.0, 1.0, 0.0),
+    )
+    return camera, builder.build()
+
+
 def load_and_build(
     path: str | pathlib.Path,
     *,

@@ -141,3 +141,19 @@ def test_camera_parameters_json_compat_with_reference_field_names():
     for sphere, mat in raw["objects"]:
         assert {"center", "radius"} <= set(sphere.keys())
         assert "material_def" in mat
+
+
+def test_make_world_stress():
+    import raytracing_tpu as rt
+
+    cam, scene = rt.make_world_stress(500, seed=3)
+    assert scene.num_objects == 500
+    import numpy as np
+
+    kinds = np.asarray(scene.mat_kind)
+    assert (kinds == 0).sum() > (kinds == 1).sum() > (kinds == 2).sum() > 0
+    # Reproducible for a fixed seed.
+    _, scene2 = rt.make_world_stress(500, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(scene.centers), np.asarray(scene2.centers)
+    )
