@@ -42,7 +42,7 @@ Layout contract (host wrappers handle packing; see ``pack_scene``):
   geom_c  f32[N_pad, 8]  cols -2cx,-2cy,-2cz,(|c|^2-r^2),1,0,0,0
   shade   f32[N_pad, 8]  cols cx,cy,cz,r,alb_r,alb_g,alb_b,param
   meta    i32[8]         [n_actual, seed, tile_offset, map_param,
-                          slot_base, 0, 0, 0]               (SMEM)
+                          slot_base, spp, max_depth, 0]     (SMEM)
   cam     f32[20]        pixel00, pixel_delta_u, pixel_delta_v, center,
                          defocus_disk_u, defocus_disk_v, defocus_angle, pad
 """
@@ -601,10 +601,17 @@ def _render_pixels_fused(
         raise ValueError(
             f"slot count {num_slots} not divisible by tile {tile_rays}"
         )
+    if num_slots >= 1 << 23:
+        # The in-kernel slot -> pixel map uses f32 index math, exact only
+        # below 2^23 (runtime/tiling.py); beyond it pixels would silently
+        # alias. Split such images over a mesh's px axis instead.
+        raise ValueError(
+            f"{num_slots} slots exceeds the kernel's 2^23 addressing limit"
+        )
     num_tiles = num_slots // tile_rays
     t_sub = tile_rays // 128
 
-    geom_h, geom_c, shade, _, n_actual = pack_scene(scene)
+    geom_h, geom_c, shade, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
 
     meta = (
@@ -662,7 +669,12 @@ def _render_pixels_fused(
     )(meta, cam_vec, geom_h, geom_c, shade)
 
     radiance = rad.reshape(3, num_slots).T
-    segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])
+    # Per-tile counts are int32; the total can exceed 2^31 on large waves,
+    # so sum in f32 (exact below 2^24 -- covers every parity test -- and
+    # metrics-grade beyond).
+    segments = jnp.sum(
+        stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
+    )
     return radiance, segments
 
 
@@ -827,7 +839,7 @@ def trace_rays_fused(
     num_tiles = b // tile_rays
     t_sub = tile_rays // 128
 
-    geom_h, geom_c, shade, _, n_actual = pack_scene(scene)
+    geom_h, geom_c, shade, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
 
     rays = jnp.concatenate([origins.T, directions.T], axis=0)  # (6, B)
@@ -876,7 +888,9 @@ def trace_rays_fused(
     )(meta, geom_h, geom_c, shade, rays)
 
     radiance = rad.reshape(3, b).T
-    segments = jnp.sum(stats.reshape(num_tiles, 8, 128)[:, 0, 0])
+    segments = jnp.sum(
+        stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
+    )
     return radiance, segments
 
 
@@ -915,7 +929,7 @@ def _morton_order(centers: jnp.ndarray) -> jnp.ndarray:
 
 def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     """Scene -> (geom_h f32[N_pad,8], geom_c f32[N_pad,8],
-    shade f32[N_pad,8], n_actual).
+    shade f32[N_pad,8], n_actual).  All tables VMEM-resident in the kernels.
 
     * ``geom_h`` cols 0-2 [cx, cy, cz]: sphere centers for the sweep's
       ``h = d . (c - o)``.
@@ -994,8 +1008,6 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     p16 = jnp.round((param + 2.0) * 4096.0).astype(jnp.int32)
     w1 = (a16[:, 0] << 16) | a16[:, 1]
     w2 = (a16[:, 2] << 16) | p16
-    import numpy as _np
-
     w1f = jax.lax.bitcast_convert_type(w1, jnp.float32)
     w2f = jax.lax.bitcast_convert_type(w2, jnp.float32)
     shade = jnp.stack(
@@ -1003,39 +1015,9 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
          w1f, w2f, zcol, zcol],
         axis=1,
     )
-    # Per-window bounding spheres for the sweep's conservative cull:
-    # center = bbox midpoint of the window's REAL sphere centers, radius =
-    # max(|c_i - bc| + r_i) over real rows (padding rows never hit and must
-    # not inflate the bound; an all-padding window gets a zero bound that
-    # can never pass the cull test).
-    win = min(n_pad, _SWEEP_ROWS)
-    n_win = n_pad // win
-    realw = (row_ids < n).reshape(n_win, win)
-    cwin = centers.reshape(n_win, win, 3)
-    rwin = radii.reshape(n_win, win)
-    big = 1.0e30
-    clo = jnp.min(jnp.where(realw[..., None], cwin, big), axis=1)
-    chi = jnp.max(jnp.where(realw[..., None], cwin, -big), axis=1)
-    any_real = realw.any(axis=1, keepdims=False)
-    # All-padding windows: park the bound at 1e30 so the cull quadratic
-    # degenerates to NaN and the window is always skipped.
-    bc = jnp.where(any_real[:, None], 0.5 * (clo + chi), 1.0e30)
-    br = jnp.max(
-        jnp.where(
-            realw,
-            jnp.linalg.norm(cwin - bc[:, None, :], axis=-1) + rwin,
-            0.0,
-        ),
-        axis=1,
-    )
-    br = jnp.where(any_real, br, 0.0)
-    bounds = jnp.concatenate(
-        [bc, br[:, None], jnp.zeros((n_win, 4), jnp.float32)], axis=1
-    )
     return (
         geom_h.astype(jnp.float32),
         geom_c.astype(jnp.float32),
         shade.astype(jnp.float32),
-        bounds.astype(jnp.float32),
         n,
     )

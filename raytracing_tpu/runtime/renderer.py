@@ -42,6 +42,7 @@ from ..core import color as rcolor
 from ..models import integrator
 from ..parallel import shard as rshard
 from ..scene.types import Scene
+from ..ops.pallas.trace import DEFAULT_TILE_RAYS
 from . import tiling as rtiling
 
 ProgressCallback = Callable[["RenderProgress"], None]
@@ -81,7 +82,8 @@ class RenderProgress:
         "chunk_samples", "spp", "max_depth", "use_matmul", "mesh", "backend",
         "pixel_order",
     ),
-    donate_argnums=(0,),
+    # NOT donated: self._image_sum must stay fetchable mid-wave so Ctrl-C /
+    # checkpointing can persist the last completed chunk.
 )
 def _accumulate_step(
     image_sum: jnp.ndarray,
@@ -142,7 +144,7 @@ def _accumulate_step(
 @functools.partial(
     jax.jit,
     static_argnames=("num_slots", "pixel_order", "mesh", "interpret"),
-    donate_argnums=(0,),
+    # NOT donated: see _accumulate_step.
 )
 def _accumulate_step_pallas(
     image_sum: jnp.ndarray,
@@ -362,7 +364,7 @@ class Renderer:
             # axis is spp; one dispatch always covers every slot (padded so
             # slots divide evenly over the px mesh axis). The chunk bound
             # exists purely for progress-callback granularity.
-            quantum = 1024 * (
+            quantum = DEFAULT_TILE_RAYS * (
                 self.mesh.shape["px"] if self.mesh is not None else 1
             )
             block = -(-total_slots // quantum) * quantum
@@ -426,9 +428,9 @@ class Renderer:
         cam = self.camera
         num_pixels = self.pixels_count
 
-        # Work-slot order: 2D 32x32 pixel tiles for the pallas backend (ray
-        # coherence feeds the kernel's bounding-sphere cull); plain raster
-        # order otherwise. Out-of-image/padding slots carry the spill id.
+        # Work-slot order: 2D 32x32 pixel tiles for the pallas backend
+        # (coherent camera rays per kernel program); plain raster order
+        # otherwise. Out-of-image/padding slots carry the spill id.
         if self.backend == "pallas":
             all_ids = rtiling.tiled_pixel_ids(cam.image_width, cam.image_height)
             pixel_order = "tiled"
@@ -520,7 +522,7 @@ class Renderer:
                     n_sp = (
                         self.mesh.shape["spp"] if self.mesh is not None else 1
                     )
-                    tiles_so_far += (pixel_block // 1024) * n_sp
+                    tiles_so_far += (pixel_block // DEFAULT_TILE_RAYS) * n_sp
                 else:
                     image_sum, segments = _accumulate_step(
                         image_sum,
@@ -540,7 +542,9 @@ class Renderer:
                         pixel_order,
                         jnp.int32(sbase),
                     )
-                    tiles_so_far += (len(ids) * this_chunk) // 1024
+                    tiles_so_far += (
+                        len(ids) * this_chunk
+                    ) // DEFAULT_TILE_RAYS
                 seg_handles.append(segments)
             sample_start += this_chunk
             self._samples_done = sample_start
@@ -593,6 +597,11 @@ class Renderer:
         the RNG tile counter so consecutive frames draw fresh samples."""
         if self.backend != "pallas":
             raise ValueError("render_frame requires the pallas backend")
+        if self.mesh is not None:
+            raise ValueError(
+                "render_frame is single-chip (it bypasses the mesh); use "
+                "render() for sharded rendering"
+            )
         spp = int(spp if spp is not None else self.params.samples_per_pixel)
         max_depth = int(
             max_depth if max_depth is not None else self.params.max_depth
@@ -614,7 +623,7 @@ class Renderer:
             "tiled",
             self._pallas_interpret,
         )
-        self._tiles_counter += slots // 1024
+        self._tiles_counter += slots // DEFAULT_TILE_RAYS
         self._frame_segments = segments  # device scalar; sync lazily
         return dev
 
@@ -647,6 +656,20 @@ class Renderer:
         h.update(repr(p).encode())
         h.update(str(self.seed).encode())
         return h.hexdigest()
+
+    def _framebuffer_rows(self) -> int:
+        """Rows of the accumulation buffer for this backend/mesh (slot
+        order padded to the mesh quantum for pallas; pixels + spill row for
+        xla)."""
+        if self.backend == "pallas":
+            slots = rtiling.num_slots(
+                self.camera.image_width, self.camera.image_height
+            )
+            quantum = DEFAULT_TILE_RAYS * (
+                self.mesh.shape["px"] if self.mesh is not None else 1
+            )
+            return -(-slots // quantum) * quantum
+        return self.pixels_count + 1
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the accumulated radiance sums + counters to ``path``."""
@@ -686,6 +709,14 @@ class Renderer:
                 f"checkpoint framebuffer layout {layout!r} does not match "
                 f"the {self.backend!r} backend's {expected!r} layout; resume "
                 "with the backend that produced the checkpoint"
+            )
+        rows = int(data["image_sum"].shape[0])
+        want_rows = self._framebuffer_rows()
+        if rows != want_rows:
+            raise ValueError(
+                f"checkpoint framebuffer has {rows} rows but this renderer "
+                f"expects {want_rows} (different mesh px-axis or image "
+                "padding); resume with the mesh that produced the checkpoint"
             )
         self._image_sum = jnp.asarray(data["image_sum"])
         self._samples_done = int(data["samples_done"])

@@ -174,7 +174,7 @@ def test_pack_scene_padding():
     b = SceneBuilder()
     b.add_lambertian_sphere((0.25, 0.5, -1.0), 0.5, (0.7, 0.3, 0.3))
     scene = b.build()
-    geom_h, geom_c, shade, bounds, n = ptrace.pack_scene(scene)
+    geom_h, geom_c, shade, n = ptrace.pack_scene(scene)
     assert n == 1
     n_pad = geom_h.shape[0]
     assert geom_h.shape == (n_pad, 8) and n_pad % ptrace._SPHERE_BLOCK == 0
@@ -217,7 +217,7 @@ def test_pack_scene_param_encoding():
     b.add_metallic_sphere((3.0, 0.0, 0.0), 1.0, (0.4, 0.5, 0.6), 0.25)
     b.add_dielectric_sphere((6.0, 0.0, 0.0), 1.0, 1.5)
     scene = b.build()
-    _, _, shade, _, n = ptrace.pack_scene(scene)
+    _, _, shade, n = ptrace.pack_scene(scene)
     assert n == 3
     shade = np.asarray(shade)
     # Identify rows by x-center (Morton sort may permute).
@@ -236,7 +236,7 @@ def test_pack_scene_morton_preserves_materials():
     for i, c in enumerate(centers):
         b.add_lambertian_sphere(c, 0.1 + 0.01 * i, (i / 50.0, 0.5, 0.5))
     scene = b.build()
-    _, _, shade, _, n = ptrace.pack_scene(scene)
+    _, _, shade, n = ptrace.pack_scene(scene)
     # For every packed row, the (radius -> albedo_r) pairing must match the
     # original builder order: radius 0.1+0.01*i pairs with albedo i/50.
     for row in range(n):

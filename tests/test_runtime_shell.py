@@ -270,3 +270,63 @@ def test_render_frame_requires_pallas():
     r = rt.Renderer(_tiny_scene(), _tiny_params(), backend="xla")
     with pytest.raises(ValueError, match="pallas"):
         r.render_frame(spp=1)
+
+
+def test_checkpoint_mid_render_from_progress_callback(tmp_path):
+    """save_checkpoint must work while a render is in flight (the Ctrl-C
+    path persists the latest completed chunk; accumulate buffers must not be
+    donated out from under self._image_sum)."""
+    scene = _tiny_scene()
+    params = _tiny_params(spp=4)
+    r = rt.Renderer(scene, params, seed=3, backend="xla",
+                    max_rays_per_batch=1 << 10)
+    ck = str(tmp_path / "mid.npz")
+    saved = []
+
+    def on_progress(p):
+        if p.samples_done < p.samples_total and not saved:
+            r.save_checkpoint(ck)
+            saved.append(p.samples_done)
+
+    img_full = r.render(spp=4, on_progress=on_progress)
+    assert saved and saved[0] < 4 and os.path.exists(ck)
+
+    resumed = rt.Renderer(scene, params, seed=3, backend="xla",
+                          max_rays_per_batch=1 << 10)
+    assert resumed.load_checkpoint(ck) == saved[0]
+    img_resumed = resumed.render(spp=4, resume=True)
+    np.testing.assert_array_equal(img_resumed, img_full)
+
+
+def test_checkpoint_mesh_shape_mismatch(tmp_path):
+    """Resuming a pallas checkpoint under a different mesh quantum must fail
+    with a clear error, not a deep shape mismatch."""
+    import jax
+
+    from raytracing_tpu.parallel import mesh as rmesh
+    from raytracing_tpu.scene.types import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    scene = b.build()
+    params = _tiny_params(width=64)
+    mesh = rmesh.make_mesh(jax.devices(), sample_axis=1)  # px=8 -> 8192 rows
+    r = rt.Renderer(scene, params, seed=0, backend="pallas", mesh=mesh)
+    r.render(spp=1)
+    ck = str(tmp_path / "mesh.npz")
+    r.save_checkpoint(ck)
+
+    single = rt.Renderer(scene, params, seed=0, backend="pallas", mesh=None)
+    with pytest.raises(ValueError, match="mesh"):
+        single.load_checkpoint(ck)
+
+
+def test_render_frame_rejects_mesh():
+    import jax
+
+    from raytracing_tpu.parallel import mesh as rmesh
+
+    mesh = rmesh.make_mesh(jax.devices(), sample_axis=1)
+    r = rt.Renderer(_tiny_scene(), _tiny_params(), backend="pallas", mesh=mesh)
+    with pytest.raises(ValueError, match="single-chip"):
+        r.render_frame(spp=1)
