@@ -402,27 +402,32 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
 def _slot_pixels(meta_ref, tile_shape, *, pixel_order):
     """Slot -> (pxf, pyf) map for this program's tile (see runtime/tiling.py).
 
-    All float index math is exact for slots < 2^23.
+    Tiled order uses integer bit arithmetic for every power-of-two factor
+    (tile size 1024, tile width 32) and f32 only for the small
+    tile-id / tiles-per-row division -- exact up to 2^23 TILES (8.5G slots).
+    Linear order divides the raw slot id in f32: exact below 2^23 slots
+    (guarded in the host wrapper).
     """
     map_param = meta_ref[3].astype(jnp.float32)  # width | tiles_per_row
-    base_f = meta_ref[4].astype(jnp.float32)
-    off = (
+    off_i = (
         jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0) * 128
         + jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1)
         + pl.program_id(0) * (tile_shape[0] * 128)
-    ).astype(jnp.float32)
-    slot = base_f + off
+    )
+    slot_i = meta_ref[4] + off_i
     if pixel_order == "tiled":
         # runtime/tiling.py mapping (TILE_W = TILE_H = 32).
-        tile_id = jnp.floor((slot + 0.5) * jnp.float32(1.0 / 1024.0))
-        within = slot - tile_id * 1024.0
-        wy = jnp.floor((within + 0.5) * jnp.float32(1.0 / 32.0))
-        wx = within - wy * 32.0
-        ty = jnp.floor((tile_id + 0.5) / map_param)
-        tx = tile_id - ty * map_param
+        tile_id = slot_i >> 10
+        within = slot_i & 1023
+        wy = (within >> 5).astype(jnp.float32)
+        wx = (within & 31).astype(jnp.float32)
+        tid_f = tile_id.astype(jnp.float32)  # exact: tile_id < 2^23
+        ty = jnp.floor((tid_f + 0.5) / map_param)
+        tx = tid_f - ty * map_param
         pxf = tx * 32.0 + wx
         pyf = ty * 32.0 + wy
     else:
+        slot = slot_i.astype(jnp.float32)
         pyf = jnp.floor((slot + 0.5) / map_param)
         pxf = slot - pyf * map_param
     return pxf, pyf
@@ -601,12 +606,12 @@ def _render_pixels_fused(
         raise ValueError(
             f"slot count {num_slots} not divisible by tile {tile_rays}"
         )
-    if num_slots >= 1 << 23:
-        # The in-kernel slot -> pixel map uses f32 index math, exact only
-        # below 2^23 (runtime/tiling.py); beyond it pixels would silently
-        # alias. Split such images over a mesh's px axis instead.
+    if pixel_order == "linear" and num_slots >= 1 << 23:
+        # Linear order divides the raw f32 slot id: exact only below 2^23.
+        # Tiled order (the renderer default) is integer-exact to 2^23 tiles.
         raise ValueError(
-            f"{num_slots} slots exceeds the kernel's 2^23 addressing limit"
+            f"{num_slots} slots exceeds linear order's 2^23 addressing "
+            "limit; use pixel_order='tiled'"
         )
     num_tiles = num_slots // tile_rays
     t_sub = tile_rays // 128

@@ -22,7 +22,8 @@ tests/test_tiling.py:
 
 Slots whose (px, py) fall outside the image map to the spill id
 ``width*height`` (discarded by the renderer's spill framebuffer row). The
-kernel's float index math is exact for slot counts < 2^23 (~8M pixels).
+kernel maps slots with integer bit arithmetic plus one small f32 division by
+tiles-per-row: exact up to 2^23 TILES (8.5G slots).
 """
 
 from __future__ import annotations

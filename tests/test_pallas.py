@@ -273,3 +273,45 @@ def test_tiled_pixel_order_host_table():
     py = (ty * 32 + wy).astype(np.int64)
     expect = np.where((px < 70) & (py < 40), py * 70 + px, spill)
     np.testing.assert_array_equal(ids, expect.astype(np.int32))
+
+
+def test_tiled_mapping_exact_beyond_2e23_slots():
+    """The kernel's tiled slot->pixel map must stay exact past 2^23 slots
+    (integer bit math for the power-of-two factors; f32 only divides the
+    small tile id). Renders the CENTER tile of a 4096x4096 image (slot base
+    > 2^23) aimed straight at a sphere: every slot must hit; a corner tile
+    must be all sky."""
+    from raytracing_tpu.core import camera as rcamera
+    from raytracing_tpu.runtime import tiling as rtiling
+    import raytracing_tpu as rt
+
+    width = height = 4096
+    tpr = rtiling.tiles_per_row(width)
+    params = rt.CameraParameters(
+        aspect_ratio=1.0, image_width=width, samples_per_pixel=1,
+        max_depth=2, vertical_fov=60.0, defocus_angle=0.0,
+        focus_distance=1.0, lookfrom=(0, 0, 0), lookat=(0, 0, -1),
+    )
+    cam = rcamera.derive(params)
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, 0.0, -5.0), 1.0, (1.0, 0.0, 0.0), 0.0)
+    scene = b.build()
+
+    def run_tile(slot_base):
+        with pltpu.force_tpu_interpret_mode():
+            rad, _ = ptrace._render_pixels_fused(
+                scene, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
+                cam.center, cam.defocus_disk_u, cam.defocus_disk_v,
+                cam.defocus_angle, jnp.int32(tpr), jnp.int32(slot_base),
+                jnp.int32(0), jnp.int32(0), 1024, jnp.int32(1), jnp.int32(2),
+                pixel_order="tiled",
+            )
+        return np.asarray(rad)
+
+    ty, tx = (height // 2) // 32, (width // 2) // 32
+    center_base = (ty * tpr + tx) * 1024
+    assert center_base > (1 << 23)
+    rad = run_tile(center_base)
+    assert (rad.sum(1) < 2.9).mean() > 0.99   # center tile: all hits
+    rad0 = run_tile(0)
+    assert (rad0.sum(1) > 2.0).mean() == 1.0  # corner tile: all sky
