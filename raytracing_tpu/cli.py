@@ -28,6 +28,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="data/config/world.config.json",
         help="world/camera JSON (reference-compatible schema)",
     )
+    ap.add_argument(
+        "--stress",
+        type=int,
+        metavar="N",
+        help="use the procedural N-sphere stress scene instead of --config",
+    )
     ap.add_argument("--out", default="render.png", help="output PNG path")
     ap.add_argument("--width", type=int, help="override image width")
     ap.add_argument("--spp", type=int, help="override samples per pixel")
@@ -89,19 +95,25 @@ def main(argv: list[str] | None = None) -> int:
     from .runtime import display as rdisplay
     from .utils import png as rpng
 
-    world = rt.load_world(args.config)
-    cam = world.camera
+    if args.stress:
+        cam, scene = rt.make_world_stress(args.stress)
+        source = f"stress:{args.stress}"
+    else:
+        world = rt.load_world(args.config)
+        cam = world.camera
+        source = args.config
     if args.width:
         cam = dataclasses.replace(cam, image_width=args.width)
     if args.spp:
         cam = dataclasses.replace(cam, samples_per_pixel=args.spp)
     if args.depth:
         cam = dataclasses.replace(cam, max_depth=args.depth)
-    world = dataclasses.replace(world, camera=cam)
-    _, scene = rt.build_world(world)
+    if not args.stress:
+        world = dataclasses.replace(world, camera=cam)
+        _, scene = rt.build_world(world)
     log.info(
         "scene %s: %d spheres; %dx%d @ %d spp depth %d",
-        args.config, scene.num_objects, cam.image_width,
+        source, scene.num_objects, cam.image_width,
         cam.image_height, cam.samples_per_pixel, cam.max_depth,
     )
 
