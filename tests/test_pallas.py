@@ -24,10 +24,17 @@ def _keys(n, seed=0):
 
 
 def _run_fused(scene, o, d, depth, seed=3, tile_offset=0):
-    with pltpu.force_tpu_interpret_mode():
+    if jax.default_backend() in ("tpu", "axon"):
+        # Real hardware: compiled Mosaic (interpret mode would execute the
+        # kernel op-by-op through the remote runtime -- unusably slow).
         rad, seg = ptrace.trace_rays_fused(
             scene, o, d, jnp.int32(seed), jnp.int32(tile_offset), depth
         )
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            rad, seg = ptrace.trace_rays_fused(
+                scene, o, d, jnp.int32(seed), jnp.int32(tile_offset), depth
+            )
     return np.asarray(rad), int(seg)
 
 
