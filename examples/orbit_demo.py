@@ -80,7 +80,13 @@ def main() -> int:
 
     def emit(i, img):
         if pump is not None:
-            pump.submit(img, i)
+            if not pump.submit(img, i):
+                # Queue full: write synchronously rather than drop the frame.
+                from raytracing_tpu.utils import png
+
+                png.write_png(
+                    os.path.join(args.out_dir, f"frame_{i:04d}.png"), img
+                )
         elif args.out_dir:
             from raytracing_tpu.utils import png
 
@@ -129,9 +135,12 @@ def main() -> int:
         if pump is not None:
             pump.close()
 
+    if not frame_times:
+        print("no frames requested")
+        return 0
     total = time.perf_counter() - t_start
     warm = frame_times[1:] or frame_times
-    fps = 1.0 / (sum(warm) / len(warm))
+    fps = 1.0 / max(sum(warm) / len(warm), 1e-9)
     print(
         f"\n{args.frames} frames {params.image_width}x{params.image_height} "
         f"@ {args.spp} spp in {total:.2f} s -- {fps:.1f} fps warm "

@@ -81,6 +81,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.checkpoint and not args.checkpoint.endswith(".npz"):
+        # np.savez appends .npz on save; normalize so the resume existence
+        # check and the saved file always agree.
+        args.checkpoint += ".npz"
+    args.progress_every = max(1, args.progress_every)
 
     from .utils import logging as rlogging
 

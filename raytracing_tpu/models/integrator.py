@@ -212,6 +212,11 @@ def render_pixels(
         from ..ops.pallas import trace as ptrace
         from ..runtime import tiling as rtiling
 
+        if sample_limit is not None:
+            raise NotImplementedError(
+                "sample_limit tail masking is an xla-backend feature (the "
+                "regen kernel takes its budget as a runtime scalar instead)"
+            )
         if pixel_order == "tiled":
             map_param = rtiling.tiles_per_row(cam.image_width)
             base = slot_base if slot_base is not None else jnp.int32(0)
@@ -256,8 +261,6 @@ def render_pixels(
             scene, origins, directions, keys, max_depth, use_matmul=use_matmul
         )
     if sample_limit is not None:
-        sample_ids = sample_start + jnp.arange(chunk_samples, dtype=jnp.int32)
-        samp_mask = jnp.tile(sample_ids, p) < sample_limit
-        radiance = jnp.where(samp_mask[..., None], radiance, 0.0)
+        radiance = jnp.where((samp < sample_limit)[..., None], radiance, 0.0)
     radiance_sum = jnp.sum(radiance.reshape(p, chunk_samples, 3), axis=1)
     return radiance_sum, segments

@@ -97,7 +97,7 @@ class TerminalDisplay:
         lines = frame.count("\n") + 1
         out = []
         if self._frames > 0:
-            out.append(f"\x1b[{lines + 4}F")  # rewind over previous frame
+            out.append(f"\x1b[{lines + 3}F")  # rewind frame + 3 panel rows
         out.append(frame + "\x1b[0K\n")
         # Two bars, mirroring the reference UI: delivered pixels and traced
         # work (main.cc:378-388). Under chunked accumulation both advance

@@ -311,6 +311,7 @@ class Renderer:
 
         self._samples_done = 0
         self._segments = 0
+        self._pending_segments: list = []
         self._start_time: float | None = None
         self._end_time: float | None = None
         self._elapsed_base = 0.0
@@ -333,6 +334,9 @@ class Renderer:
     @property
     def segments_traced(self) -> int:
         """Total ray segments traced (denominator for Mrays/s)."""
+        if self._pending_segments:
+            pending, self._pending_segments = self._pending_segments, []
+            self._segments += int(sum(int(s) for s in pending))
         return self._segments
 
     @property
@@ -624,7 +628,9 @@ class Renderer:
             self._pallas_interpret,
         )
         self._tiles_counter += slots // DEFAULT_TILE_RAYS
-        self._frame_segments = segments  # device scalar; sync lazily
+        # Device scalar; folded into segments_traced lazily (no sync here,
+        # the interactive path must not block the dispatch pipeline).
+        self._pending_segments.append(segments)
         return dev
 
     def fetch_image(self, u8_dev) -> np.ndarray:
@@ -672,9 +678,12 @@ class Renderer:
         return self.pixels_count + 1
 
     def save_checkpoint(self, path: str) -> None:
-        """Persist the accumulated radiance sums + counters to ``path``."""
+        """Persist the accumulated radiance sums + counters to ``path``
+        (``.npz`` appended if missing, mirroring ``np.savez``)."""
         if self._image_sum is None:
             raise ValueError("nothing rendered yet; no state to checkpoint")
+        if not str(path).endswith(".npz"):
+            path = f"{path}.npz"
         np.savez_compressed(
             path,
             image_sum=np.asarray(jax.device_get(self._image_sum)),
@@ -696,6 +705,8 @@ class Renderer:
         continues the same RNG streams, so the final image equals an
         uninterrupted render.
         """
+        if not str(path).endswith(".npz"):
+            path = f"{path}.npz"
         data = np.load(path, allow_pickle=False)
         if str(data["fingerprint"]) != self._fingerprint():
             raise ValueError(
@@ -729,4 +740,4 @@ class Renderer:
 
     def mrays_per_sec(self) -> float:
         t = self.render_time()
-        return (self._segments / t) / 1.0e6 if t > 0 else 0.0
+        return (self.segments_traced / t) / 1.0e6 if t > 0 else 0.0

@@ -32,7 +32,9 @@ def encode_png(image: np.ndarray, *, compress_level: int = 6) -> bytes:
         raise ValueError(f"expected [H, W, {{1,3,4}}] image, got shape {image.shape}")
 
     height, width, channels = image.shape
-    if channels == 3:
+    if channels == 3 and compress_level == 6:
+        # The native encoder hardcodes zlib level 6; honor non-default
+        # levels with the pure-Python writer.
         from . import native
 
         if native.available():

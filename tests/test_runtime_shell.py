@@ -330,3 +330,49 @@ def test_render_frame_rejects_mesh():
     r = rt.Renderer(_tiny_scene(), _tiny_params(), backend="pallas", mesh=mesh)
     with pytest.raises(ValueError, match="single-chip"):
         r.render_frame(spp=1)
+
+
+def test_checkpoint_path_without_npz_extension(tmp_path):
+    """np.savez appends .npz; save/load must normalize so resume finds it."""
+    r = rt.Renderer(_tiny_scene(), _tiny_params(), seed=5, backend="xla")
+    r.render(spp=1)
+    raw = str(tmp_path / "run.ck")
+    r.save_checkpoint(raw)
+    assert os.path.exists(raw + ".npz")
+    r2 = rt.Renderer(_tiny_scene(), _tiny_params(), seed=5, backend="xla")
+    assert r2.load_checkpoint(raw) == 1  # loads via the same normalization
+
+
+def test_terminal_display_rewind_matches_lines_emitted():
+    """The ANSI rewind must equal the number of rows emitted per frame or
+    the live view creeps up the terminal."""
+    img = np.zeros((8, 10, 3), np.uint8)
+    out = io.StringIO()
+    disp = rdisplay.TerminalDisplay(stream=out, max_width=10, max_height=8)
+    disp(_fake_progress(img))
+    first = out.getvalue()
+    rows_emitted = first.count("\n")
+    disp(_fake_progress(img))
+    second = out.getvalue()[len(first):]
+    import re
+
+    m = re.match(r"\x1b\[(\d+)F", second)
+    assert m, "second frame must start with a cursor rewind"
+    assert int(m.group(1)) == rows_emitted
+
+
+def test_pallas_sample_limit_not_supported():
+    from raytracing_tpu.core import camera as rcamera
+    from raytracing_tpu.models import integrator
+
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    scene = _tiny_scene()
+    cam = rcamera.derive(_tiny_params())
+    with pytest.raises(NotImplementedError, match="sample_limit"):
+        integrator.render_pixels(
+            scene, cam, jr.key(0), jnp.arange(1024, dtype=jnp.int32),
+            jnp.int32(0), 1, 1, 2, backend="pallas",
+            sample_limit=jnp.int32(1),
+        )
