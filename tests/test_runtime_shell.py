@@ -376,3 +376,16 @@ def test_pallas_sample_limit_not_supported():
             jnp.int32(0), 1, 1, 2, backend="pallas",
             sample_limit=jnp.int32(1),
         )
+
+
+def test_cli_stress_scene(tmp_path):
+    from raytracing_tpu import cli
+
+    out = str(tmp_path / "s.png")
+    rc = cli.main([
+        "--stress", "32", "--width", "48", "--spp", "1", "--depth", "2",
+        "--backend", "xla", "--out", out, "--quiet",
+    ])
+    assert rc == 0
+    img = rpng.read_png(out)
+    assert img.shape[1] == 48 and img.sum() > 0
