@@ -602,6 +602,9 @@ def _render_pixels_fused(
     Returns ``(radiance_sum[num_slots, 3], segments scalar int32)`` where
     ``radiance_sum`` is the SUM over the ``spp`` samples (caller divides).
     """
+    if tile_rays % 1024 != 0 or tile_rays <= 0:
+        # (3, t_sub, 128) output blocks need t_sub divisible by 8 sublanes.
+        raise ValueError(f"tile_rays must be a positive multiple of 1024, got {tile_rays}")
     if num_slots % tile_rays != 0:
         raise ValueError(
             f"slot count {num_slots} not divisible by tile {tile_rays}"
@@ -839,6 +842,8 @@ def trace_rays_fused(
       ``(radiance[B, 3], segments scalar int32)``.
     """
     b = origins.shape[0]
+    if tile_rays % 1024 != 0 or tile_rays <= 0:
+        raise ValueError(f"tile_rays must be a positive multiple of 1024, got {tile_rays}")
     if b % tile_rays != 0:
         raise ValueError(f"ray count {b} not divisible by tile_rays {tile_rays}")
     num_tiles = b // tile_rays
