@@ -70,10 +70,15 @@ def main() -> None:
     mrays = segments / wall / 1.0e6
 
     target = 500.0  # Mrays/s/chip north star (BASELINE.json)
+    metric = (
+        "cover_scene_throughput"
+        if not args.scene.startswith("stress")
+        else "stress_scene_throughput"
+    )
     print(
         json.dumps(
             {
-                "metric": "cover_scene_throughput",
+                "metric": metric,
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / target, 4),
