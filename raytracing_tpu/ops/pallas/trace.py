@@ -610,8 +610,12 @@ def _render_pixels_fused(
             f"slot count {num_slots} not divisible by tile {tile_rays}"
         )
     if pixel_order == "linear" and num_slots >= 1 << 23:
-        # Linear order divides the raw f32 slot id: exact only below 2^23.
-        # Tiled order (the renderer default) is integer-exact to 2^23 tiles.
+        # Linear order divides the raw f32 ABSOLUTE slot id (slot_base +
+        # offset): exact only while slot_base + num_slots < 2^23. slot_base
+        # is traced so only the num_slots part can be checked statically;
+        # the caller contract (documented on render_pixels_fused) covers the
+        # rest. Tiled order (the renderer default) is integer-exact to 2^23
+        # TILES and has no such limit in practice.
         raise ValueError(
             f"{num_slots} slots exceeds linear order's 2^23 addressing "
             "limit; use pixel_order='tiled'"
@@ -709,7 +713,14 @@ def render_pixels_fused(
 ):
     """Host wrapper: one compiled kernel per (num_slots, scene size);
     ``spp``/``max_depth`` are runtime values (no recompile across chunk
-    sizes). Degenerate budgets short-circuit to black."""
+    sizes). Degenerate budgets short-circuit to black.
+
+    Addressing limit: with ``pixel_order='linear'`` the kernel converts the
+    ABSOLUTE slot id (``slot_base + offset``) to f32, so results are exact
+    only while ``slot_base + num_slots < 2**23`` (~8.4M pixels). Images (or
+    chunked renders) beyond that must use ``pixel_order='tiled'`` (the
+    Renderer default), which is integer-exact to 2^23 tiles.
+    """
     if spp <= 0 or max_depth <= 0:
         return (
             jnp.zeros((num_slots, 3), jnp.float32),

@@ -701,9 +701,14 @@ class Renderer:
         """Restore accumulated state; returns samples already done.
 
         The checkpoint must have been produced by a renderer with the same
-        scene, camera and seed (fingerprint-checked) -- resumed sampling
-        continues the same RNG streams, so the final image equals an
-        uninterrupted render.
+        scene, camera and seed (fingerprint-checked). For the xla backend
+        (per-(pixel, sample) threefry keys) resumed sampling continues the
+        same RNG streams, so the final image is bit-equal to an
+        uninterrupted render. For the pallas backend streams are keyed by
+        the wave tile counter, so bit-equality additionally requires the
+        resumed chunk plan to match the original (same target spp /
+        chunk_spp); otherwise the result is a valid render with different
+        (equally distributed) sample draws.
         """
         if not str(path).endswith(".npz"):
             path = f"{path}.npz"

@@ -5,14 +5,15 @@ The reference decomposes the image into 8x8 pixel tiles for cache locality
 and shuffles them for load balance. Here tiles serve a different master:
 RAY COHERENCE. A kernel wave of 1024 consecutive work slots maps to one
 32x32 pixel tile, so the rays of one Pallas program point into a narrow
-frustum and the per-block bounding-sphere cull (ops/pallas/trace.py) can
-skip most of the scene. No shuffling is needed -- waves are statically
-balanced.
+frustum -- the precondition for any future group-coherent culling or ray
+binning (a per-block bounding-sphere cull was measured and rejected as
+neutral; see CLAUDE.md kernel perf log). No shuffling is needed -- waves
+are statically balanced.
 
 The slot -> pixel mapping must be computed identically on the host (to build
 the scatter-add id table) and inside the kernel (to generate camera rays), so
 both implementations live next to each other and are cross-checked in
-tests/test_tiling.py:
+tests/test_pallas.py (host/kernel map cross-check):
 
   tile   = slot // (TILE_W*TILE_H)
   within = slot %  (TILE_W*TILE_H)
