@@ -31,7 +31,16 @@ def main() -> None:
         help="'cover' (488-sphere reference scene) or 'stress:<N>' "
         "(procedural N-sphere grid, scaling characterization)",
     )
+    ap.add_argument(
+        "--north-star", action="store_true",
+        help="measure the BASELINE.json north-star config verbatim: "
+        "1920x1080 @ 1000 spp, depth 50 (overrides --spp/--depth/--width)",
+    )
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+
+    if args.north_star:
+        args.width, args.spp, args.depth = 1920, 1000, 50
 
     import dataclasses
 
@@ -58,11 +67,11 @@ def main() -> None:
         )
         _, scene = rt.build_world(dataclasses.replace(world, camera=params))
 
-    renderer = rt.Renderer(scene, params, seed=0)
+    renderer = rt.Renderer(scene, params, seed=args.seed)
     # Warmup: compile every wave shape once.
     renderer.render(spp=args.warmup_spp)
 
-    renderer = rt.Renderer(scene, params, seed=0)
+    renderer = rt.Renderer(scene, params, seed=args.seed)
     t0 = time.perf_counter()
     renderer.render(spp=args.spp)
     wall = time.perf_counter() - t0
@@ -70,11 +79,12 @@ def main() -> None:
     mrays = segments / wall / 1.0e6
 
     target = 500.0  # Mrays/s/chip north star (BASELINE.json)
-    metric = (
-        "cover_scene_throughput"
-        if not args.scene.startswith("stress")
-        else "stress_scene_throughput"
-    )
+    if args.north_star:
+        metric = "north_star_throughput"
+    elif args.scene.startswith("stress"):
+        metric = "stress_scene_throughput"
+    else:
+        metric = "cover_scene_throughput"
     print(
         json.dumps(
             {

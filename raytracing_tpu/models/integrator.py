@@ -172,15 +172,14 @@ def render_pixels(
     use_matmul: bool = True,
     backend: str = "xla",
     pallas_seed: jnp.ndarray | None = None,
-    tile_offset: jnp.ndarray | None = None,
     pixel_order: str = "linear",
     slot_base: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Trace ``chunk_samples`` samples for each pixel in ``pixel_ids``.
 
     Pure function (jit-friendly; ``chunk_samples``/``spp``/``max_depth``
-    static). Global ray id = ``pixel_id * spp + sample_id`` so the result is
-    invariant to chunking and sharding.
+    static). Both backends key their RNG by (pixel, absolute sample id), so
+    the result is invariant to chunking and sharding.
 
     Args:
       sample_limit: optional traced exclusive upper bound on sample ids;
@@ -190,10 +189,10 @@ def render_pixels(
       backend: "xla" (wavefront while_loop, any platform) or "pallas" (fused
         TPU megakernel; requires the ray count P*chunk_samples to be a
         multiple of the kernel tile). Camera-ray sampling is identical for
-        both; the pallas bounce RNG uses the TPU core PRNG seeded by
-        (pallas_seed, tile_offset + local tile), so its noise differs from
-        the XLA path's threefry streams (statistically equivalent).
-      pallas_seed / tile_offset: int32 scalars, required for backend="pallas".
+        both; the pallas RNG is a counter-based hash keyed by
+        (pallas_seed, slot, sample, bounce), so its noise differs from the
+        XLA path's threefry streams (statistically equivalent).
+      pallas_seed: int32 scalar, required for backend="pallas".
 
     Returns ``(radiance_sum[P, 3], segments)``.
     """
@@ -236,7 +235,7 @@ def render_pixels(
             map_param,
             base,
             pallas_seed if pallas_seed is not None else jnp.int32(0),
-            tile_offset if tile_offset is not None else jnp.int32(0),
+            jnp.asarray(sample_start, jnp.int32),
             p,
             chunk_samples,
             max_depth,

@@ -25,9 +25,12 @@ wavefront's HBM-bound (B, N) intermediates. Design (v2):
     multiply-reduce against the VMEM shading table -- no scalar loads, no
     HBM. Material kind is folded into ``param``: lambertian -1, metal
     ``fuzz`` (in [0, 2)), dielectric ``4 + ior``.
-  * Per-iteration RNG from the TPU core PRNG (``pltpu.prng_seed`` /
-    ``prng_random_bits``) seeded by (seed, absolute tile, iteration):
-    deterministic and chunk-invariant for a fixed tile size.
+  * RNG from a counter-based software hash (murmur3 finalizer keyed by
+    (seed, absolute slot, absolute sample, bounce, draw)): the drawn sample
+    set is independent of the work decomposition -- chunked, resumed, and
+    spp-sharded renders trace the identical samples -- and BIT-IDENTICAL
+    between compiled Mosaic and TPU-interpret mode (see the PRNG block
+    below for why the TPU core PRNG was dropped).
 
 Algorithm parity is with the reference recursion exactly as in
 ``models/integrator.py`` (ray.tracer.core.cc:236-265, object.defs.cc:41-81,
@@ -41,8 +44,10 @@ Layout contract (host wrappers handle packing; see ``pack_scene``):
   geom_h  f32[N_pad, 8]  cols cx,cy,cz,1,0,0,0,0            (VMEM)
   geom_c  f32[N_pad, 8]  cols -2cx,-2cy,-2cz,(|c|^2-r^2),1,0,0,0
   shade   f32[N_pad, 8]  cols cx,cy,cz,r,alb_r,alb_g,alb_b,param
-  meta    i32[8]         [n_actual, seed, tile_offset, map_param,
-                          slot_base, spp, max_depth, 0]     (SMEM)
+  meta    i32[8]         regen kernel: [n_actual, seed, 0, map_param,
+                          slot_base, spp, max_depth, sample_start];
+                          ray kernel: [n_actual, seed, tile_offset, 0...]
+                          (SMEM)
   cam     f32[20]        pixel00, pixel_delta_u, pixel_delta_v, center,
                          defocus_disk_u, defocus_disk_v, defocus_angle, pad
 """
@@ -73,16 +78,76 @@ _TWO_PI = 6.2831853071795864
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _uniform01(shape):
-    """U[0,1) from the core PRNG: top 24 bits of the raw word.
+# Counter-based software PRNG (murmur3-finalizer / splitmix32 family).
+#
+# Round 1 used the TPU core PRNG (pltpu.prng_seed / prng_random_bits); it was
+# replaced because interpret mode has no PRNG emulation (prng_random_bits
+# returns ZEROS on CPU), which (a) silently skipped every RNG-dependent
+# parity test off-hardware and (b) made the pallas golden image depend on the
+# zeros quirk. The software generator is plain 32-bit VPU integer arithmetic,
+# so compiled Mosaic and TPU-interpret mode produce BIT-IDENTICAL draws --
+# the pallas backend now renders the same image on CPU and TPU. Measured
+# cost: ~12 vector ops per (8,128) draw, < 0.1 cyc/segment (noise level).
+#
+# All shifts are arithmetic-shift + mask (no uint32 vectors needed); int32
+# multiplies wrap (two's complement), which is exactly the mod-2^32 product
+# the finalizer wants.
 
-    ``prng_random_bits`` yields a SIGNED int32-typed word; bitcast to uint32
-    before the logical shift, then bitcast back so the int->float convert is
-    of a small non-negative int32 (Mosaic has no uint32->f32 convert).
+_GOLD = -1640531527  # 0x9E3779B9: golden-ratio increment (odd -> bijective)
+
+
+def _fmix32(h):
+    """murmur3 32-bit finalizer: full avalanche on int32 (scalar or vector)."""
+    h = h ^ ((h >> 16) & 0xFFFF)
+    h = h * jnp.int32(-2048144789)   # 0x85EBCA6B
+    h = h ^ ((h >> 13) & 0x7FFFF)
+    h = h * jnp.int32(-1028477387)   # 0xC2B2AE35
+    h = h ^ ((h >> 16) & 0xFFFF)
+    return h
+
+
+def _lane_hash(tile_shape):
+    """Per-lane counter * odd constant; hoisted once per kernel program."""
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, tile_shape, 1)
+    )
+    return lane * jnp.int32(-1640531535)  # 0x9E3779B1 (odd)
+
+
+def _uniform01_from(lane_h, stream_key, j: int):
+    """U[0,1) draw ``j`` of the (lane, stream) counter: low 24 hash bits."""
+    h = _fmix32(lane_h + (stream_key + jnp.int32(j) * jnp.int32(0x632BE5AB)))
+    return (h & 0xFFFFFF).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+# Odd multipliers folding the (slot, sample, bounce, draw) coordinates into
+# the regen kernel's counter (distinct constants decorrelate the axes before
+# the finalizer's avalanche). Draw slots: j 0-2 scatter, j 3-6 camera ray.
+# Plain ints (NOT jnp arrays): a module-level jnp constant would be captured
+# by the kernel closure, which pallas_call rejects inside shard_map.
+_K_SAMPLE = -2048144777   # 0x85EBCA77
+_K_BOUNCE = -1028477379   # 0xC2B2AE3D
+_K_DRAW = 0x632BE5AB
+
+
+def _uniform01_keyed(slot_h, sample_v, bounce_v, j: int):
+    """U[0,1) draw ``j`` at per-lane (slot, sample, bounce) coordinates.
+
+    Keying by ABSOLUTE sample index (not wave/iteration counters) makes the
+    sample set independent of work decomposition: chunked renders, resumed
+    renders, and spp-sharded renders all draw the identical sample for a
+    given (pixel slot, sample index) -- the pallas analog of the XLA path's
+    per-(pixel, sample) threefry keys (core/rng.py).
     """
-    raw = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    top24 = pltpu.bitcast(raw >> 8, jnp.int32)
-    return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    j_term = ((j * _K_DRAW + (1 << 31)) % (1 << 32)) - (1 << 31)  # int32 wrap
+    h = _fmix32(
+        slot_h
+        + sample_v * jnp.int32(_K_SAMPLE)
+        + bounce_v * jnp.int32(_K_BOUNCE)
+        + jnp.int32(j_term)
+    )
+    return (h & 0xFFFFFF).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def _pack_bits(n_pad: int) -> int:
@@ -400,7 +465,9 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
 
 
 def _slot_pixels(meta_ref, tile_shape, *, pixel_order):
-    """Slot -> (pxf, pyf) map for this program's tile (see runtime/tiling.py).
+    """Slot -> (slot_i, pxf, pyf) map for this program's tile
+    (see runtime/tiling.py). ``slot_i`` is the ABSOLUTE slot id per lane
+    (also the RNG stream coordinate).
 
     Tiled order uses integer bit arithmetic for every power-of-two factor
     (tile size 1024, tile width 32) and f32 only for the small
@@ -430,7 +497,7 @@ def _slot_pixels(meta_ref, tile_shape, *, pixel_order):
         slot = slot_i.astype(jnp.float32)
         pyf = jnp.floor((slot + 0.5) / map_param)
         pxf = slot - pyf * map_param
-    return pxf, pyf
+    return slot_i, pxf, pyf
 
 
 def _camera_rays(cam_ref, pxf, pyf, j1, j2, u3, u4):
@@ -474,27 +541,32 @@ def _regen_kernel(
     spp = meta_ref[5]
     max_depth = meta_ref[6]
     seed = meta_ref[1]
-    tile_idx = meta_ref[2] + pl.program_id(0)
+    sample_start = meta_ref[7]
     t_sub = tile_shape[0]
 
     refs = (geh_ref, gec_ref, shade_ref)
 
-    pxf, pyf = _slot_pixels(meta_ref, tile_shape, pixel_order=pixel_order)
+    slot_i, pxf, pyf = _slot_pixels(
+        meta_ref, tile_shape, pixel_order=pixel_order
+    )
 
     zero = jnp.zeros(tile_shape, jnp.float32)
     one = zero + 1.0
     zero_i = jnp.zeros(tile_shape, jnp.int32)
 
-    def draws(it):
-        # Fresh per-iteration stream; distinct from every other tile. The
-        # PRNG accepts at most 2 seed words, so (tile, iteration) is folded
-        # into one with a golden-ratio multiply (odd constant -> bijective in
-        # int32; adjacent tiles land 2^31*phi apart, far beyond any
-        # realistic iteration count).
-        pltpu.prng_seed(seed, tile_idx * jnp.int32(-1640531527) + it)
-        return tuple(_uniform01(tile_shape) for _ in range(7))
+    # RNG stream coordinates: (absolute slot, absolute sample, bounce, draw).
+    seed_h = _fmix32(seed + jnp.int32(_GOLD))
+    slot_h = slot_i * jnp.int32(-1640531535) + seed_h  # 0x9E3779B1 (odd)
 
-    u = draws(jnp.int32(0))
+    def cam_draws(sample_v):
+        # Camera-ray draws for per-lane absolute sample ids (draw slots 3-6;
+        # the bounce coordinate does not apply to camera rays).
+        return tuple(
+            _uniform01_keyed(slot_h, sample_v, zero_i, j) for j in (3, 4, 5, 6)
+        )
+
+    s0 = zero_i + sample_start
+    u = cam_draws(s0)
     o0 = _camera_rays(cam_ref, pxf, pyf, u[0], u[1], u[2], u[3])
 
     state = (
@@ -504,7 +576,6 @@ def _regen_kernel(
         zero_i,                 # bounce depth of the current path
         zero_i,                 # samples completed
         jnp.int32(0),           # segments traced
-        jnp.int32(1),           # iteration (RNG stream index)
     )
 
     def cond(state):
@@ -514,10 +585,14 @@ def _regen_kernel(
 
     def body(state):
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
-         depth, done, segments, it) = state
+         depth, done, segments) = state
         active = done < spp
 
-        u1, u2, u3, j1, j2, c3, c4 = draws(it)
+        # Scatter draws for this (sample, bounce) coordinate (slots 0-2).
+        sample_v = s0 + done
+        u1 = _uniform01_keyed(slot_h, sample_v, depth, 0)
+        u2 = _uniform01_keyed(slot_h, sample_v, depth, 1)
+        u3 = _uniform01_keyed(slot_h, sample_v, depth, 2)
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
             n_pad=n_pad, t_sub=t_sub,
@@ -538,6 +613,7 @@ def _regen_kernel(
         done = done + died.astype(jnp.int32)
         regen = died & (done < spp)
 
+        j1, j2, c3, c4 = cam_draws(s0 + done)  # the NEXT sample's camera ray
         cx, cy, cz, cdx, cdy, cdz = _camera_rays(
             cam_ref, pxf, pyf, j1, j2, c3, c4
         )
@@ -558,7 +634,7 @@ def _regen_kernel(
 
         segments = segments + jnp.sum(active.astype(jnp.int32))
         return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
-                depth, done, segments, it + 1)
+                depth, done, segments)
 
     state = jax.lax.while_loop(cond, body, state)
     rad_ref[0] = state[9]
@@ -583,7 +659,7 @@ def _render_pixels_fused(
     map_param: jnp.ndarray,
     slot_base: jnp.ndarray,
     seed: jnp.ndarray,
-    tile_offset: jnp.ndarray,
+    sample_start: jnp.ndarray,
     num_slots: int,
     spp: jnp.ndarray,
     max_depth: jnp.ndarray,
@@ -598,6 +674,11 @@ def _render_pixels_fused(
     ("linear": pid = slot, ``map_param`` = image width; "tiled": 32x32 pixel
     tiles, ``map_param`` = tiles-per-row, runtime/tiling.py). Each slot's
     samples run back-to-back via in-kernel path regeneration.
+
+    ``sample_start``: absolute index of the first sample -- the RNG is keyed
+    by (slot, sample_start + k), so splitting a sample budget across calls
+    (chunking, resume, spp sharding) draws the identical sample set as one
+    big call.
 
     Returns ``(radiance_sum[num_slots, 3], segments scalar int32)`` where
     ``radiance_sum`` is the SUM over the ``spp`` samples (caller divides).
@@ -629,11 +710,11 @@ def _render_pixels_fused(
     meta = (
         jnp.array([n_actual, 0, 0, 0, 0, 0, 0, 0], jnp.int32)
         .at[1].set(seed.astype(jnp.int32))
-        .at[2].set(tile_offset.astype(jnp.int32))
         .at[3].set(jnp.asarray(map_param, jnp.int32))
         .at[4].set(slot_base.astype(jnp.int32))
         .at[5].set(jnp.asarray(spp, jnp.int32))
         .at[6].set(jnp.asarray(max_depth, jnp.int32))
+        .at[7].set(sample_start.astype(jnp.int32))
     )
     cam_vec = jnp.concatenate(
         [
@@ -702,7 +783,7 @@ def render_pixels_fused(
     map_param,
     slot_base,
     seed,
-    tile_offset,
+    sample_start,
     num_slots: int,
     spp: int,
     max_depth: int,
@@ -713,7 +794,9 @@ def render_pixels_fused(
 ):
     """Host wrapper: one compiled kernel per (num_slots, scene size);
     ``spp``/``max_depth`` are runtime values (no recompile across chunk
-    sizes). Degenerate budgets short-circuit to black.
+    sizes). Degenerate budgets short-circuit to black. ``sample_start`` is
+    the absolute first-sample index (RNG streams are (slot, sample)-keyed;
+    see _render_pixels_fused).
 
     Addressing limit: with ``pixel_order='linear'`` the kernel converts the
     ABSOLUTE slot id (``slot_base + offset``) to f32, so results are exact
@@ -729,7 +812,7 @@ def render_pixels_fused(
     return _render_pixels_fused(
         scene, pixel00, pixel_delta_u, pixel_delta_v, center,
         defocus_disk_u, defocus_disk_v, defocus_angle, map_param, slot_base,
-        seed, tile_offset, num_slots, jnp.int32(spp), jnp.int32(max_depth),
+        seed, sample_start, num_slots, jnp.int32(spp), jnp.int32(max_depth),
         pixel_order=pixel_order, tile_rays=tile_rays, interpret=interpret,
     )
 
@@ -777,14 +860,17 @@ def _trace_kernel(
         bounce = state[13]
         return (bounce < max_depth) & (jnp.max(alive_f) > 0.5)
 
+    lane_h = _lane_hash(tile_shape)
+    seed_h = _fmix32(seed + jnp.int32(_GOLD))
+
     def body(state):
         (ox, oy, oz, dx, dy, dz,
          tpr, tpg, tpb, rr, rg, rb, alive_f, bounce, segments) = state
 
-        pltpu.prng_seed(seed, tile_idx * jnp.int32(-1640531527) + bounce)
-        u1 = _uniform01(tile_shape)
-        u2 = _uniform01(tile_shape)
-        u3 = _uniform01(tile_shape)
+        s = _fmix32(tile_idx * jnp.int32(_GOLD) + bounce + seed_h)
+        u1 = _uniform01_from(lane_h, s, 0)
+        u2 = _uniform01_from(lane_h, s, 1)
+        u3 = _uniform01_from(lane_h, s, 2)
 
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),

@@ -100,7 +100,7 @@ def render_pixels_fused_sharded(
     cam: rcamera.DerivedCamera,
     slot_base: jnp.ndarray,
     seed: jnp.ndarray,
-    tile_offset: jnp.ndarray,
+    sample_start: jnp.ndarray,
     chunk_spp: jnp.ndarray,
     max_depth: jnp.ndarray,
     num_slots: int,
@@ -114,14 +114,16 @@ def render_pixels_fused_sharded(
       * slots (pixels) split contiguously over ``px`` -- each device runs the
         fused kernel on its own ``num_slots / n_px`` slots (slot->pixel
         mapping stays global via per-device ``slot_base`` offsets);
-      * the sample budget splits over ``spp`` as evenly as possible
-        (``chunk_spp`` is a runtime scalar; shard k traces
-        ``(k+1)*chunk//n - k*chunk//n`` samples from its own RNG streams),
+      * the sample budget splits over ``spp`` as evenly as possible: shard k
+        traces the absolute sample range
+        ``[sample_start + k*chunk//n, sample_start + (k+1)*chunk//n)``,
         partial sums combined with one ``psum`` riding ICI.
 
-    Per-device RNG streams are disjoint by construction (tile-offset
-    arithmetic), so the render is deterministic for a fixed mesh shape.
-    Returns ``(radiance_sum[num_slots, 3] sharded over px, segments)``.
+    The kernel RNG is keyed by (slot, absolute sample), so every mesh shape
+    -- including the unsharded single kernel -- traces the IDENTICAL sample
+    set; radiance agrees to f32 summation-order roundoff and segment counts
+    match exactly. Returns
+    ``(radiance_sum[num_slots, 3] sharded over px, segments)``.
     """
     from ..ops.pallas import trace as ptrace
     from ..runtime import tiling as rtiling
@@ -135,14 +137,12 @@ def render_pixels_fused_sharded(
             f"multiples of the {tile}-slot kernel tile"
         )
     local_slots = num_slots // n_px
-    local_tiles = local_slots // tile
-    total_tiles = num_slots // tile
     if pixel_order == "tiled":
         map_param = rtiling.tiles_per_row(cam.image_width)
     else:
         map_param = cam.image_width
 
-    def local_fn(scene, cam, slot_base, seed, tile_offset, chunk_spp,
+    def local_fn(scene, cam, slot_base, seed, sample_start, chunk_spp,
                  max_depth):
         px_idx = jax.lax.axis_index(AXIS_PIXELS)
         sp_idx = jax.lax.axis_index(AXIS_SAMPLES)
@@ -150,11 +150,6 @@ def render_pixels_fused_sharded(
         lo = (chunk_spp * sp_idx) // n_sp
         hi = (chunk_spp * (sp_idx + 1)) // n_sp
         local_spp = (hi - lo).astype(jnp.int32)
-        toff = (
-            tile_offset
-            + sp_idx * jnp.int32(total_tiles)
-            + px_idx * jnp.int32(local_tiles)
-        )
         rad, seg = ptrace._render_pixels_fused(
             scene,
             cam.pixel00,
@@ -167,7 +162,7 @@ def render_pixels_fused_sharded(
             jnp.int32(map_param),
             base,
             seed,
-            toff,
+            sample_start + lo.astype(jnp.int32),
             local_slots,
             local_spp,
             max_depth,
@@ -186,4 +181,4 @@ def render_pixels_fused_sharded(
         # pallas_call out_shapes carry no varying-mesh-axes metadata; the
         # kernel is per-device-independent by construction.
         check_vma=False,
-    )(scene, cam, slot_base, seed, tile_offset, chunk_spp, max_depth)
+    )(scene, cam, slot_base, seed, sample_start, chunk_spp, max_depth)

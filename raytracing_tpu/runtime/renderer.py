@@ -99,7 +99,6 @@ def _accumulate_step(
     mesh=None,
     backend: str = "xla",
     pallas_seed: jnp.ndarray | None = None,
-    tile_offset: jnp.ndarray | None = None,
     pixel_order: str = "linear",
     slot_base: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -120,7 +119,6 @@ def _accumulate_step(
             use_matmul=use_matmul,
             backend=backend,
             pallas_seed=pallas_seed,
-            tile_offset=tile_offset,
             pixel_order=pixel_order,
             slot_base=slot_base,
         )
@@ -153,7 +151,7 @@ def _accumulate_step_pallas(
     map_param: jnp.ndarray,
     slot_base: jnp.ndarray,
     pallas_seed: jnp.ndarray,
-    tile_offset: jnp.ndarray,
+    sample_start: jnp.ndarray,
     chunk_spp: jnp.ndarray,
     max_depth: jnp.ndarray,
     num_slots: int,
@@ -165,7 +163,9 @@ def _accumulate_step_pallas(
 
     ``chunk_spp``/``max_depth`` are runtime scalars so varying chunk sizes
     never recompile (the kernel's loop bounds are data-dependent anyway).
-    With a mesh, the wave is sharded over the (px, spp) device axes.
+    ``sample_start`` is the wave's absolute first-sample index (the kernel
+    RNG is (slot, sample)-keyed, so any chunk decomposition draws the same
+    sample set). With a mesh, the wave is sharded over (px, spp) axes.
 
     ``image_sum`` lives in SLOT order (the kernel's work order), so
     accumulation is a pure elementwise add -- no device scatter. The host
@@ -179,7 +179,7 @@ def _accumulate_step_pallas(
             cam,
             slot_base,
             pallas_seed,
-            tile_offset,
+            sample_start,
             chunk_spp,
             max_depth,
             num_slots,
@@ -200,7 +200,7 @@ def _accumulate_step_pallas(
             map_param,
             slot_base,
             pallas_seed,
-            tile_offset,
+            sample_start,
             num_slots,
             chunk_spp,
             max_depth,
@@ -220,7 +220,7 @@ def _frame_step(
     cam: rcamera.DerivedCamera,
     map_param: jnp.ndarray,
     pallas_seed: jnp.ndarray,
-    tile_offset: jnp.ndarray,
+    sample_start: jnp.ndarray,
     spp: jnp.ndarray,
     max_depth: jnp.ndarray,
     num_slots: int,
@@ -243,7 +243,7 @@ def _frame_step(
         map_param,
         jnp.int32(0),
         pallas_seed,
-        tile_offset,
+        sample_start,
         num_slots,
         spp,
         max_depth,
@@ -316,6 +316,7 @@ class Renderer:
         self._end_time: float | None = None
         self._elapsed_base = 0.0
         self._tiles_counter = 0
+        self._frame_sample_base = 0
         self._image_sum: jnp.ndarray | None = None
 
     # -- metric API parity with RayTracer (main.cc:547-566) -----------------
@@ -515,7 +516,7 @@ class Renderer:
                         map_param,
                         jnp.int32(sbase),
                         pallas_seed,
-                        jnp.int32(tiles_so_far),
+                        jnp.int32(sample_start),
                         jnp.int32(this_chunk),
                         jnp.int32(max_depth),
                         pixel_block,
@@ -542,7 +543,6 @@ class Renderer:
                         self.mesh,
                         self.backend,
                         pallas_seed,
-                        jnp.int32(tiles_so_far),
                         pixel_order,
                         jnp.int32(sbase),
                     )
@@ -598,7 +598,7 @@ class Renderer:
         """Interactive path: one fused dispatch per frame, returning the
         DEVICE u8 image (slot order) without sync -- pair with
         ``fetch_image``. Uses the pallas backend's tiled slot order; advances
-        the RNG tile counter so consecutive frames draw fresh samples."""
+        the absolute sample base so consecutive frames draw fresh samples."""
         if self.backend != "pallas":
             raise ValueError("render_frame requires the pallas backend")
         if self.mesh is not None:
@@ -620,13 +620,14 @@ class Renderer:
             cam,
             jnp.int32(rtiling.tiles_per_row(cam.image_width)),
             jnp.int32(self.seed & 0x7FFFFFFF),
-            jnp.int32(self._tiles_counter),
+            jnp.int32(self._frame_sample_base),
             jnp.int32(spp),
             jnp.int32(max_depth),
             slots,
             "tiled",
             self._pallas_interpret,
         )
+        self._frame_sample_base += spp
         self._tiles_counter += slots // DEFAULT_TILE_RAYS
         # Device scalar; folded into segments_traced lazily (no sync here,
         # the interactive path must not block the dispatch pipeline).
@@ -701,14 +702,14 @@ class Renderer:
         """Restore accumulated state; returns samples already done.
 
         The checkpoint must have been produced by a renderer with the same
-        scene, camera and seed (fingerprint-checked). For the xla backend
-        (per-(pixel, sample) threefry keys) resumed sampling continues the
-        same RNG streams, so the final image is bit-equal to an
-        uninterrupted render. For the pallas backend streams are keyed by
-        the wave tile counter, so bit-equality additionally requires the
-        resumed chunk plan to match the original (same target spp /
-        chunk_spp); otherwise the result is a valid render with different
-        (equally distributed) sample draws.
+        scene, camera and seed (fingerprint-checked). Both backends key
+        their RNG by (pixel, absolute sample id) -- xla via threefry,
+        pallas via the kernel's counter hash -- so resumed sampling draws
+        exactly the samples an uninterrupted render would have drawn. The
+        final image is bit-equal when the resumed chunk decomposition
+        matches the uninterrupted one (true for the default plan at the
+        same target spp); a different chunking regroups the f32 sample
+        additions and can differ in the last ulp only.
         """
         if not str(path).endswith(".npz"):
             path = f"{path}.npz"

@@ -2,11 +2,11 @@
 bit-identically forever (catches silent drift in camera math, intersection,
 scatter, color pipe, or the slot/tile plumbing).
 
-Two goldens, both 64x32 @ 1 spp with jitter-free determinism:
-  * XLA backend (threefry camera jitter with a fixed seed -- deterministic
-    on every platform).
-  * Pallas backend in TPU-interpret mode (PRNG draws are zeros on CPU --
-    deterministic by construction).
+Two goldens, both 64x32 @ 1 spp with a fixed seed:
+  * XLA backend (threefry camera jitter -- deterministic on every platform).
+  * Pallas backend (counter-based software hash RNG: the draws are plain
+    int32 vector arithmetic, bit-identical under TPU-interpret mode on CPU
+    and compiled Mosaic on hardware -- this golden is valid on BOTH).
 
 Regenerate (only after an INTENDED image change, and say why in the commit):
   python tests/test_golden.py --regen

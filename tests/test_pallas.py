@@ -4,7 +4,8 @@ The deterministic-scene test is the strong one: with only fuzz-0 metals (no
 RNG influence on any path), the fused kernel must agree with the XLA
 wavefront integrator to float roundoff, including identical traced-segment
 counts. RNG-dependent scenes are compared distributionally (the kernel uses
-the TPU core PRNG; the XLA path uses threefry)."""
+a counter-based hash keyed by (slot, sample, bounce); the XLA path uses
+threefry)."""
 
 import jax
 import jax.numpy as jnp
@@ -121,14 +122,12 @@ def test_scene_larger_than_sweep_window():
     assert rel.max() < 0.05, f"tie-flip deviation too large: {rel.max()}"
 
 
-_NO_HW_PRNG = jax.default_backend() not in ("tpu", "axon")
+# The kernel RNG is a counter-based software hash (plain int32 vector ops),
+# so RNG-dependent behavior is identical under TPU-interpret mode and
+# compiled Mosaic -- these tests run everywhere (round 1 skipped them off
+# hardware because the TPU core PRNG has no interpret emulation).
 
 
-@pytest.mark.skipif(
-    _NO_HW_PRNG,
-    reason="TPU-interpret mode has no PRNG emulation (prng_random_bits "
-    "returns zeros on CPU); RNG-dependent parity runs on real TPU only",
-)
 def test_distributional_parity_full_materials():
     """All three materials: per-direction mean radiance matches the XLA
     integrator within MC error (independent RNG streams)."""
@@ -150,11 +149,6 @@ def test_distributional_parity_full_materials():
         ), dir3
 
 
-@pytest.mark.skipif(
-    _NO_HW_PRNG,
-    reason="TPU-interpret mode has no PRNG emulation; stream tests need "
-    "real TPU",
-)
 def test_tile_offset_changes_stream():
     b = SceneBuilder()
     b.add_lambertian_sphere((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3))
@@ -322,3 +316,44 @@ def test_tiled_mapping_exact_beyond_2e23_slots():
     assert (rad.sum(1) < 2.9).mean() > 0.99   # center tile: all hits
     rad0 = run_tile(0)
     assert (rad0.sum(1) > 2.0).mean() == 1.0  # corner tile: all sky
+
+
+def test_regen_sample_chunks_compose_exactly():
+    """(slot, sample)-keyed RNG: tracing spp=4 in one kernel call draws the
+    SAME sample set as two spp=2 calls at sample_start 0 and 2 -- segment
+    counts must be equal and the radiance sums must compose to f32
+    summation-order roundoff. (This is the invariance that makes chunked /
+    resumed / spp-sharded pallas renders agree.)"""
+    from raytracing_tpu.core import camera as rcamera
+    import raytracing_tpu as rt
+
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5))
+    b.add_lambertian_sphere((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3))
+    b.add_dielectric_sphere((-1.0, 0.0, -1.0), 0.5, 1.5)
+    scene = b.build()
+    params = rt.CameraParameters(
+        aspect_ratio=2.0, image_width=64, samples_per_pixel=4, max_depth=6,
+        vertical_fov=50.0, defocus_angle=0.4, focus_distance=2.0,
+        lookfrom=(0.0, 0.3, 1.0), lookat=(0.0, 0.0, -1.0),
+    )
+    cam = rcamera.derive(params)
+
+    def run(sample_start, spp):
+        with pltpu.force_tpu_interpret_mode():
+            rad, seg = ptrace.render_pixels_fused(
+                scene, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
+                cam.center, cam.defocus_disk_u, cam.defocus_disk_v,
+                cam.defocus_angle, jnp.int32(cam.image_width),
+                jnp.int32(0), jnp.int32(7), jnp.int32(sample_start),
+                2048, spp, 6, pixel_order="linear",
+            )
+        return np.asarray(rad), int(seg)
+
+    rad_all, seg_all = run(0, 4)
+    rad_a, seg_a = run(0, 2)
+    rad_b, seg_b = run(2, 2)
+    assert seg_all == seg_a + seg_b
+    np.testing.assert_allclose(rad_a + rad_b, rad_all, atol=2e-5, rtol=1e-6)
+    # And the two halves draw DIFFERENT samples (streams advance).
+    assert not np.allclose(rad_a, rad_b)

@@ -65,3 +65,43 @@ def test_streams_are_independent():
     b = np.asarray(rrng.uniform(rrng.fold(keys, 1)))
     assert not np.allclose(a, b)
     assert np.abs(np.corrcoef(a, b)[0, 1]) < 0.15
+
+# --- kernel software PRNG (ops/pallas/trace.py hash generator) ---------------
+
+
+def test_kernel_hash_rng_uniform_and_decorrelated():
+    """The megakernel's counter-based murmur-finalizer draws must be U[0,1):
+    correct range, flat histogram, decorrelated across draw index, lanes,
+    and stream keys. (Plain jnp functions -- testable outside the kernel.)"""
+    from raytracing_tpu.ops.pallas import trace as ptrace
+
+    lane_h = ptrace._lane_hash((8, 128))
+    seed_h = ptrace._fmix32(jnp.int32(3) + jnp.int32(ptrace._GOLD))
+
+    draws = []
+    for it in range(64):  # 64 streams x 7 draws x 1024 lanes = 458k samples
+        s = ptrace._fmix32(jnp.int32(it) * jnp.int32(ptrace._GOLD) + seed_h)
+        draws.append(
+            np.stack([
+                np.asarray(ptrace._uniform01_from(lane_h, s, j)).ravel()
+                for j in range(7)
+            ])
+        )
+    u = np.stack(draws)  # (64, 7, 1024)
+
+    assert (u >= 0.0).all() and (u < 1.0).all()
+    n = u.size
+    np.testing.assert_allclose(u.mean(), 0.5, atol=5.0 / np.sqrt(12 * n))
+    np.testing.assert_allclose(u.var(), 1.0 / 12.0, atol=0.002)
+    # Chi-square over 32 bins: statistic ~ chi2(31); 5-sigma bound ~ 31+5*sqrt(62).
+    counts, _ = np.histogram(u, bins=32, range=(0.0, 1.0))
+    expect = n / 32.0
+    chi2 = ((counts - expect) ** 2 / expect).sum()
+    assert chi2 < 31 + 5 * np.sqrt(62), f"chi2={chi2:.1f}"
+    # Draw-index and lane-neighbor correlations at noise level.
+    flat = u.reshape(64, 7, 1024)
+    c01 = np.corrcoef(flat[:, 0, :].ravel(), flat[:, 1, :].ravel())[0, 1]
+    lag = np.corrcoef(flat[:, 0, :-1].ravel(), flat[:, 0, 1:].ravel())[0, 1]
+    assert abs(c01) < 0.01 and abs(lag) < 0.01, (c01, lag)
+    # Distinct streams must give distinct draw sets.
+    assert not np.array_equal(u[0], u[1])

@@ -139,8 +139,6 @@ def test_renderer_mesh_with_pixel_padding():
 
 
 def _all_metal_scene():
-    # Deterministic (fuzz-0 metals only): interpret-mode PRNG draws are zero
-    # on CPU, so pallas radiance is reproducible across shardings.
     b = SceneBuilder()
     b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
     b.add_metallic_sphere((0.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.0)
@@ -149,8 +147,11 @@ def _all_metal_scene():
 
 @pytest.mark.parametrize("sample_axis", [1, 2])
 def test_pallas_sharded_matches_unsharded(sample_axis):
-    """Fused-kernel shard_map path == single-kernel path on a deterministic
-    scene (both run in TPU-interpret mode on the CPU mesh)."""
+    """Fused-kernel shard_map path == single-kernel path (both in
+    TPU-interpret mode on the CPU mesh). The kernel RNG is keyed by
+    (slot, absolute sample), so EVERY mesh decomposition -- px split AND
+    spp split -- traces the identical sample set: segment counts match
+    exactly and radiance to f32 summation-order roundoff."""
     from raytracing_tpu.ops.pallas import trace as ptrace
     from raytracing_tpu.runtime import tiling as rtiling
 
