@@ -28,8 +28,9 @@ def main() -> None:
     ap.add_argument("--warmup-spp", type=int, default=1)
     ap.add_argument(
         "--scene", default="cover",
-        help="'cover' (488-sphere reference scene) or 'stress:<N>' "
-        "(procedural N-sphere grid, scaling characterization)",
+        help="'cover' (488-sphere reference scene), 'textured' "
+        "(BASELINE config 3: checker + image textures, defocus camera), or "
+        "'stress:<N>' (procedural N-sphere grid, scaling characterization)",
     )
     ap.add_argument(
         "--north-star", action="store_true",
@@ -49,6 +50,15 @@ def main() -> None:
     if args.scene.startswith("stress:"):
         n = int(args.scene.split(":", 1)[1])
         cam0, scene = rt.make_world_stress(n, image_width=args.width)
+        params = dataclasses.replace(
+            cam0,
+            aspect_ratio=16.0 / 9.0,
+            image_width=args.width,
+            samples_per_pixel=args.spp,
+            max_depth=args.depth,
+        )
+    elif args.scene == "textured":
+        cam0, scene = rt.make_world_textured(image_width=args.width)
         params = dataclasses.replace(
             cam0,
             aspect_ratio=16.0 / 9.0,
@@ -83,6 +93,8 @@ def main() -> None:
         metric = "north_star_throughput"
     elif args.scene.startswith("stress"):
         metric = "stress_scene_throughput"
+    elif args.scene == "textured":
+        metric = "textured_scene_throughput"
     else:
         metric = "cover_scene_throughput"
     print(

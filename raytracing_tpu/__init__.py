@@ -51,6 +51,7 @@ from .scene.config import (
     load_world,
     make_world_basic,
     make_world_stress,
+    make_world_textured,
 )
 from .scene.types import MaterialKind, Scene, SceneBuilder
 from .runtime.renderer import Renderer, RenderProgress
@@ -67,6 +68,7 @@ __all__ = [
     "load_world",
     "make_world_basic",
     "make_world_stress",
+    "make_world_textured",
     "MaterialKind",
     "Scene",
     "SceneBuilder",

@@ -37,6 +37,7 @@ from ..core import math as rmath
 from ..core import rng as rrng
 from ..ops import intersect as rintersect
 from ..ops import scatter as rscatter
+from ..ops import texture as rtexture
 from ..scene.types import Scene
 
 # Sky gradient endpoints (core.cc:254-256).
@@ -132,7 +133,11 @@ def trace_rays(
 
         p, normal, front = rintersect.hit_records(o, d, t, idx, scene)
         kind = scene.mat_kind[idx]
-        albedo = scene.albedo[idx]
+        if scene.has_textures:
+            outward = jnp.where(front[..., None], normal, -normal)
+            albedo = rtexture.surface_albedo(scene, idx, p, outward)
+        else:
+            albedo = scene.albedo[idx]
         fuzz = scene.fuzz[idx]
         ior = scene.ior[idx]
 

@@ -248,44 +248,49 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
     return jnp.concatenate(kmin_rows, axis=0)
 
 
-def _gather(shade_ref, imin, *, n_pad, t_sub):
-    """Radix-select fetch of the winning sphere's 6 shading table columns.
+def _gather_cols(table_ref, col_ids, sel_rows, *, n_rows, t_sub):
+    """Radix-select fetch of per-lane rows from a (n_rows, C) VMEM table.
 
-    A binary tournament on the bits of ``imin`` folds each (N_pad, 1) table
-    column in half log2(N_pad) times -- O(N) selects total per attribute
-    (vs O(N) multiply + O(N) reduce-add for a one-hot mask-reduce, measured
-    ~2x slower) -- then three sublane rotate-select rounds collapse the last
-    8 rows. Requires ``n_pad`` to be a power of two (pack_scene guarantees).
-    Returns 8 arrays of shape (t_sub, 128):
-    cx, cy, cz, r, alb_r, alb_g, alb_b, param (material words decoded from
-    the 16-bit packed columns; see pack_scene).
+    A binary tournament on the bits of ``sel_rows`` folds each (n_rows, 1)
+    table column in half log2(n_rows) times -- O(N) selects total per
+    attribute (vs O(N) multiply + O(N) reduce-add for a one-hot mask-reduce,
+    measured ~2x slower) -- then three sublane rotate-select rounds collapse
+    the last 8 rows. ``n_rows`` must be a power of two. Beyond the
+    ``_SWEEP_ROWS`` window, a bit-preserving select fori first collapses to
+    the winner's window so VMEM intermediates stay O(window).
+
+    Returns one (t_sub, 128) f32 array per entry of ``col_ids`` (bit
+    patterns preserved -- packed integer columns survive).
     """
-    outs = [[] for _ in range(6)]
-    cols = [shade_ref[:, j : j + 1] for j in range(6)]
-    nbits = _pack_bits(n_pad)
-    win = min(n_pad, _SWEEP_ROWS)
+    outs = [[] for _ in col_ids]
+    full_cols = (
+        [table_ref[:, j : j + 1] for j in col_ids]
+        if n_rows <= _SWEEP_ROWS
+        else None
+    )
+    win = min(n_rows, _SWEEP_ROWS)
     win_bits = win.bit_length() - 1
     for g in range(t_sub):
-        sel = imin[g : g + 1]  # (1, 128)
+        sel = sel_rows[g : g + 1]  # (1, 128)
         bit = [((sel >> k) & 1) > 0 for k in range(win_bits)]
         blk = sel >> win_bits  # winner's window index (1, 128)
-        for j, col in enumerate(cols):
-            if n_pad > win:
+        for jj, j in enumerate(col_ids):
+            if n_rows > win:
                 # Collapse to the winner's ``win``-row window with a
                 # bit-preserving select fori over window slices: VMEM
-                # intermediates stay O(win), independent of scene size.
-                nb = n_pad // win
+                # intermediates stay O(win), independent of table size.
+                nb = n_rows // win
 
                 def wsel(b, t, j=j):
                     base = pl.multiple_of(b * win, win)
-                    wcol = shade_ref[pl.ds(base, win), j : j + 1]
+                    wcol = table_ref[pl.ds(base, win), j : j + 1]
                     return jnp.where(blk == b, wcol, t)
 
                 t = jax.lax.fori_loop(
                     0, nb, wsel, jnp.zeros((win, 128), jnp.float32)
                 )
             else:
-                t = col
+                t = full_cols[jj]
             size = win
             while size > 8:
                 half = size // 2
@@ -296,9 +301,19 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
             for shift in (4, 2, 1):
                 rolled = pltpu.roll(t, 8 - shift, axis=0)
                 t = jnp.where(bit[shift.bit_length() - 1], rolled, t)
-            outs[j].append(t[0:1])
-    cxb, cyb, czb, rb, w1, w2 = (
-        jnp.concatenate(o, axis=0) for o in outs
+            outs[jj].append(t[0:1])
+    return [jnp.concatenate(o, axis=0) for o in outs]
+
+
+def _gather(shade_ref, imin, *, n_pad, t_sub):
+    """Winning sphere's 6 shading columns + material decode.
+
+    Returns 8 arrays of shape (t_sub, 128):
+    cx, cy, cz, r, alb_r, alb_g, alb_b, param (material words decoded from
+    the 16-bit packed columns; see pack_scene).
+    """
+    cxb, cyb, czb, rb, w1, w2 = _gather_cols(
+        shade_ref, range(6), imin, n_rows=n_pad, t_sub=t_sub
     )
     # Decode the 16-bit packed material words (pack_scene encoding).
     w1i = pltpu.bitcast(w1, jnp.int32)
@@ -311,13 +326,94 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     return cxb, cyb, czb, rb, albr, albg, albb, param
 
 
-def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
+def _textured_albedo(shade_ref, tex, imin, p, outward_n, base_rgb, *,
+                     n_pad, t_sub):
+    """Checker / image albedo override (ops/texture.py semantics).
+
+    Gathers the 4 texture columns of the widened shade table (see
+    pack_scene) for each lane's winner, then:
+      * checker: parity of floor(inv_scale * p) summed over xyz picks the
+        odd color (sampled at the 3D hit point);
+      * image: sphere UV from the outward unit normal (shared polynomial
+        atan2/acos -- ops/texture.py), nearest texel from the pack_textures
+        table via a second radix-select gather over texel rows.
+    Non-textured lanes keep ``base_rgb``.
+    """
+    from .. import texture as rtexture
+
+    tex_ref, kh, kw, tex_rows = tex
+    px, py, pz = p
+    onx, ony, onz = outward_n
+    albr, albg, albb = base_rgb
+    inv16 = jnp.float32(1.0 / 65535.0)
+
+    w3, w4, tinv, w5 = _gather_cols(
+        shade_ref, (6, 7, 8, 9), imin, n_rows=n_pad, t_sub=t_sub
+    )
+    w3i = pltpu.bitcast(w3, jnp.int32)
+    w4i = pltpu.bitcast(w4, jnp.int32)
+    w5i = pltpu.bitcast(w5, jnp.int32)
+    alb2r = ((w3i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    alb2g = (w3i & 0xFFFF).astype(jnp.float32) * inv16
+    alb2b = ((w4i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    tmeta = w4i & 0xFFFF
+    tkind = tmeta & 3
+    tid = tmeta >> 2
+
+    # Checker parity at the hit point (exact for |sum| < 2^23).
+    s = (
+        jnp.floor(tinv * px) + jnp.floor(tinv * py) + jnp.floor(tinv * pz)
+    )
+    half = s * 0.5
+    odd = (tkind == 1) & (half != jnp.floor(half))
+    albr = jnp.where(odd, alb2r, albr)
+    albg = jnp.where(odd, alb2g, albg)
+    albb = jnp.where(odd, alb2b, albb)
+
+    # Image texel: UV -> row in the texel table -> radix gather.
+    twf = ((w5i >> 16) & 0xFFFF).astype(jnp.float32)
+    thf = (w5i & 0xFFFF).astype(jnp.float32)
+    u = (rtexture.atan2(-onz, onx) + rtexture._PI) * jnp.float32(
+        1.0 / rtexture.TWO_PI
+    )
+    v = rtexture.acos(-ony) * jnp.float32(1.0 / rtexture._PI)
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    col = jnp.maximum(jnp.minimum(jnp.floor(u * twf), twf - 1.0), 0.0)
+    rowf = jnp.maximum(
+        jnp.minimum(jnp.floor((1.0 - v) * thf), thf - 1.0), 0.0
+    )
+    trow = (
+        tid * jnp.int32(kh * kw)
+        + rowf.astype(jnp.int32) * jnp.int32(kw)
+        + col.astype(jnp.int32)
+    )
+    ta, tb = _gather_cols(
+        tex_ref, (0, 1), trow, n_rows=tex_rows, t_sub=t_sub
+    )
+    tai = pltpu.bitcast(ta, jnp.int32)
+    tbi = pltpu.bitcast(tb, jnp.int32)
+    texr = ((tai >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    texg = (tai & 0xFFFF).astype(jnp.float32) * inv16
+    texb = ((tbi >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    is_img = tkind == 2
+    albr = jnp.where(is_img, texr, albr)
+    albg = jnp.where(is_img, texg, albg)
+    albb = jnp.where(is_img, texb, albb)
+    return albr, albg, albb
+
+
+def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
     Args:
       refs: (geh_ref, gec_ref, shade_ref).
       rows: ray state (ox, oy, oz, dx, dy, dz).
       uniforms: three U[0,1) draws (unit-sphere z/azimuth, Schlick).
+      tex: None for untextured scenes (compiles to the round-1 program), or
+        ``(tex_ref, kh, kw, tex_rows)``: the pack_textures texel table and
+        its static plane dims -- enables the checker/image albedo path
+        (ops/texture.py semantics, same formulas).
 
     Returns dict with: hitm (bool), new ray origin/direction rows, attenuation
     rgb, scat_ok (bool: hit ray survives the scatter), sky rgb (unweighted
@@ -359,15 +455,21 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub):
     px = ox + t_safe * dx
     py = oy + t_safe * dy
     pz = oz + t_safe * dz
-    nx = (px - cxb) * invrb
-    ny = (py - cyb) * invrb
-    nz = (pz - czb) * invrb
-    d_dot_n = dx * nx + dy * ny + dz * nz
+    onx = (px - cxb) * invrb  # outward normal (pre-flip; texture UV basis)
+    ony = (py - cyb) * invrb
+    onz = (pz - czb) * invrb
+    d_dot_n = dx * onx + dy * ony + dz * onz
     front = d_dot_n < 0.0
     sgn = jnp.where(front, 1.0, -1.0)
-    nx = nx * sgn
-    ny = ny * sgn
-    nz = nz * sgn
+    nx = onx * sgn
+    ny = ony * sgn
+    nz = onz * sgn
+
+    if tex is not None:
+        albr, albg, albb = _textured_albedo(
+            shade_ref, tex, imin, (px, py, pz), (onx, ony, onz),
+            (albr, albg, albb), n_pad=n_pad, t_sub=t_sub,
+        )
 
     # Sky on miss (core.cc:254-256).
     inv_len_d = jax.lax.rsqrt(a)
@@ -530,14 +632,19 @@ def _regen_kernel(
     cam_ref,       # SMEM f32[20]
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
-    shade_ref,     # VMEM f32[N_pad, 8]
-    rad_ref,       # VMEM f32[3, t_sub, 128]
-    stats_ref,     # VMEM i32[8, 128]
-    *,
+    shade_ref,     # VMEM f32[N_pad, 8|16]
+    *rest,         # [tex_ref when textured,] rad_ref, stats_ref
     n_pad: int,
     tile_shape: tuple[int, int],
     pixel_order: str,
+    tex_plane: tuple[int, int, int] | None = None,
 ):
+    if tex_plane is not None:
+        tex_ref, rad_ref, stats_ref = rest
+        tex = (tex_ref, *tex_plane)
+    else:
+        rad_ref, stats_ref = rest
+        tex = None
     spp = meta_ref[5]
     max_depth = meta_ref[6]
     seed = meta_ref[1]
@@ -595,7 +702,7 @@ def _regen_kernel(
         u3 = _uniform01_keyed(slot_h, sample_v, depth, 2)
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub,
+            n_pad=n_pad, t_sub=t_sub, tex=tex,
         )
         hitm = out["hitm"]
 
@@ -729,11 +836,21 @@ def _render_pixels_fused(
         ]
     )
 
+    tex_inputs = ()
+    tex_specs = []
+    tex_plane = None
+    if scene.has_textures:
+        tex_table, kh, kw, _ = pack_textures(scene)
+        tex_plane = (kh, kw, tex_table.shape[0])
+        tex_inputs = (tex_table,)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+
     kernel = functools.partial(
         _regen_kernel,
         n_pad=n_pad,
         tile_shape=(t_sub, 128),
         pixel_order=pixel_order,
+        tex_plane=tex_plane,
     )
 
     rad, stats = pl.pallas_call(
@@ -745,6 +862,7 @@ def _render_pixels_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_h
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_c
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shade
+            *tex_specs,                             # texel table
         ],
         out_specs=[
             pl.BlockSpec(
@@ -759,7 +877,7 @@ def _render_pixels_fused(
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
         interpret=_interp(interpret),
-    )(meta, cam_vec, geom_h, geom_c, shade)
+    )(meta, cam_vec, geom_h, geom_c, shade, *tex_inputs)
 
     radiance = rad.reshape(3, num_slots).T
     # Per-tile counts are int32; the total can exceed 2^31 on large waves,
@@ -826,15 +944,19 @@ def _trace_kernel(
     meta_ref,      # SMEM i32[8]
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
-    shade_ref,     # VMEM f32[N_pad, 8]
-    rays_ref,      # VMEM f32[6, t_sub, 128]
-    rad_ref,       # VMEM f32[3, t_sub, 128]
-    stats_ref,     # VMEM i32[8, 128]
-    *,
+    shade_ref,     # VMEM f32[N_pad, 8|16]
+    *rest,         # [tex_ref when textured,] rays_ref, rad_ref, stats_ref
     n_pad: int,
     max_depth: int,
     tile_shape: tuple[int, int],
+    tex_plane: tuple[int, int, int] | None = None,
 ):
+    if tex_plane is not None:
+        tex_ref, rays_ref, rad_ref, stats_ref = rest
+        tex = (tex_ref, *tex_plane)
+    else:
+        rays_ref, rad_ref, stats_ref = rest
+        tex = None
     seed = meta_ref[1]
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
@@ -874,7 +996,7 @@ def _trace_kernel(
 
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub,
+            n_pad=n_pad, t_sub=t_sub, tex=tex,
         )
         hitm = out["hitm"]
         hit_f = jnp.where(hitm, 1.0, 0.0)
@@ -958,11 +1080,21 @@ def trace_rays_fused(
         .at[2].set(tile_offset.astype(jnp.int32))
     )
 
+    tex_inputs = ()
+    tex_specs = []
+    tex_plane = None
+    if scene.has_textures:
+        tex_table, kh, kw, _ = pack_textures(scene)
+        tex_plane = (kh, kw, tex_table.shape[0])
+        tex_inputs = (tex_table,)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+
     kernel = functools.partial(
         _trace_kernel,
         n_pad=n_pad,
         max_depth=max_depth,
         tile_shape=(t_sub, 128),
+        tex_plane=tex_plane,
     )
 
     rad, stats = pl.pallas_call(
@@ -973,6 +1105,7 @@ def trace_rays_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_h
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_c
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shade
+            *tex_specs,                             # texel table
             pl.BlockSpec(
                 (6, t_sub, 128),
                 lambda i: (0, i, 0),
@@ -992,7 +1125,7 @@ def trace_rays_fused(
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
         interpret=_interp(interpret),
-    )(meta, geom_h, geom_c, shade, rays)
+    )(meta, geom_h, geom_c, shade, *tex_inputs, rays)
 
     radiance = rad.reshape(3, b).T
     segments = jnp.sum(
@@ -1034,9 +1167,66 @@ def _morton_order(centers: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(code)
 
 
+# In-kernel image textures are resampled (nearest) to fit this cap per side;
+# the texel fetch is a radix-select gather over T*kh*kw rows, so the cap
+# bounds its cost. Textures already within the cap are sampled exactly.
+TEX_KERNEL_CAP = 64
+
+
+def pack_textures(scene: Scene, cap: int = TEX_KERNEL_CAP):
+    """Texture stack -> (tex_table f32[rows, 8], kh, kw, kernel_wh i32[N,2]).
+
+    Each texture plane is nearest-downsampled to at most (cap, cap); texel
+    (tid, j, i) lives at row ``tid*kh*kw + j*kw + i`` with rgb packed 16-bit
+    into cols 0 (r|g) and 1 (b|0). Rows padded to a power of two (the radix
+    gather folds in half). ``kernel_wh`` is each sphere's texture's valid
+    (w, h) inside the (kh, kw) plane.
+    """
+    t, th, tw, _ = scene.textures.shape
+    kh, kw = min(th, cap), min(tw, cap)
+    if (kh, kw) != (th, tw):
+        import numpy as _np
+
+        jrows = jnp.asarray((_np.arange(kh) * th) // kh)
+        icols = jnp.asarray((_np.arange(kw) * tw) // kw)
+        tex = scene.textures[:, jrows][:, :, icols]
+        # Valid region shrinks by the same nearest mapping.
+        w = scene.tex_wh[:, 0]
+        h = scene.tex_wh[:, 1]
+        kwh = jnp.stack(
+            [-(-w * kw // tw), -(-h * kh // th)], axis=1
+        ).astype(jnp.int32)
+    else:
+        tex = scene.textures
+        kwh = scene.tex_wh
+    flat = tex.reshape(t * kh * kw, 3)
+    q = jnp.round(jnp.clip(flat, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    wa = (q[:, 0] << 16) | q[:, 1]
+    wb = q[:, 2] << 16
+    rows = max(128, 1 << max((t * kh * kw - 1).bit_length(), 1))
+    table = jnp.zeros((rows, 8), jnp.float32)
+    table = table.at[: t * kh * kw, 0].set(
+        jax.lax.bitcast_convert_type(wa, jnp.float32)
+    )
+    table = table.at[: t * kh * kw, 1].set(
+        jax.lax.bitcast_convert_type(wb, jnp.float32)
+    )
+    return table, kh, kw, kwh
+
+
 def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     """Scene -> (geom_h f32[N_pad,8], geom_c f32[N_pad,8],
-    shade f32[N_pad,8], n_actual).  All tables VMEM-resident in the kernels.
+    shade f32[N_pad,8 or 16], n_actual).  All tables VMEM-resident in the
+    kernels.
+
+    When ``scene.has_textures`` (static), ``shade`` widens to 16 columns:
+      col 6: w3 = alb2_r16 | alb2_g16      (checker odd color)
+      col 7: w4 = alb2_b16 | tmeta16       (tmeta = tex_kind(2) | tex_id(14))
+      col 8: checker 1/scale (f32 bits; pre-rounded to f16 grid by the
+             SceneBuilder so the value is exact)
+      col 9: w5 = kernel_tex_w16 | kernel_tex_h16 (dims in the pack_textures
+             plane)
+    Untextured scenes keep the 8-column layout (identical code to round 1).
 
     * ``geom_h`` cols 0-2 [cx, cy, cz]: sphere centers for the sweep's
       ``h = d . (c - o)``.
@@ -1057,6 +1247,7 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     """
     n = scene.num_objects
     n_pad = max(n_pad_multiple, 1 << max(n - 1, 1).bit_length())
+    textured = scene.has_textures
 
     if n > 0:
         order = _morton_order(scene.centers)
@@ -1076,6 +1267,13 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
         fuzz = jnp.pad(fuzz, (0, pad))
         ior = jnp.pad(ior, (0, pad), constant_values=1.0)
         kind = jnp.pad(kind, (0, pad))
+        if textured:
+            _, _, _, kernel_wh = pack_textures(scene)
+            tkind = jnp.pad(scene.tex_kind[order], (0, pad))
+            alb2 = jnp.pad(scene.albedo2[order], ((0, pad), (0, 0)))
+            tinv = jnp.pad(scene.tex_inv_scale[order], (0, pad))
+            tid = jnp.pad(scene.tex_id[order], (0, pad))
+            twh = jnp.pad(kernel_wh[order], ((0, pad), (0, 0)))
     else:
         centers = jnp.full((n_pad, 3), 1.0e9, jnp.float32)
         radii = jnp.zeros((n_pad,), jnp.float32)
@@ -1083,6 +1281,12 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
         fuzz = jnp.zeros((n_pad,), jnp.float32)
         ior = jnp.ones((n_pad,), jnp.float32)
         kind = jnp.zeros((n_pad,), jnp.int32)
+        if textured:  # pragma: no cover - empty textured scene is degenerate
+            tkind = jnp.zeros((n_pad,), jnp.int32)
+            alb2 = jnp.zeros((n_pad, 3), jnp.float32)
+            tinv = jnp.zeros((n_pad,), jnp.float32)
+            tid = jnp.zeros((n_pad,), jnp.int32)
+            twh = jnp.zeros((n_pad, 2), jnp.int32)
 
     cm2 = jnp.sum(centers * centers, axis=-1) - radii * radii
     # Padding rows: force the sweep's discriminant negative (never-hit).
@@ -1117,11 +1321,29 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
     w2 = (a16[:, 2] << 16) | p16
     w1f = jax.lax.bitcast_convert_type(w1, jnp.float32)
     w2f = jax.lax.bitcast_convert_type(w2, jnp.float32)
-    shade = jnp.stack(
-        [centers[:, 0], centers[:, 1], centers[:, 2], radii,
-         w1f, w2f, zcol, zcol],
-        axis=1,
-    )
+    if textured:
+        b16 = jnp.round(jnp.clip(alb2, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+        tmeta = (jnp.clip(tkind, 0, 3) & 3) | (jnp.clip(tid, 0, (1 << 14) - 1) << 2)
+        w3 = (b16[:, 0] << 16) | b16[:, 1]
+        w4 = (b16[:, 2] << 16) | (tmeta & 0xFFFF)
+        w5 = (jnp.clip(twh[:, 0], 0, 0xFFFF) << 16) | jnp.clip(
+            twh[:, 1], 0, 0xFFFF
+        )
+        w3f = jax.lax.bitcast_convert_type(w3, jnp.float32)
+        w4f = jax.lax.bitcast_convert_type(w4, jnp.float32)
+        w5f = jax.lax.bitcast_convert_type(w5, jnp.float32)
+        shade = jnp.stack(
+            [centers[:, 0], centers[:, 1], centers[:, 2], radii,
+             w1f, w2f, w3f, w4f, tinv, w5f,
+             zcol, zcol, zcol, zcol, zcol, zcol],
+            axis=1,
+        )
+    else:
+        shade = jnp.stack(
+            [centers[:, 0], centers[:, 1], centers[:, 2], radii,
+             w1f, w2f, zcol, zcol],
+            axis=1,
+        )
     return (
         geom_h.astype(jnp.float32),
         geom_c.astype(jnp.float32),

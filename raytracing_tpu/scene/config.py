@@ -76,12 +76,36 @@ class MetallicMatDef:
     fuzzines: float
 
 
-MaterialDef = AlbedoMatDef | DielectricMatDef | MetallicMatDef
+@dataclasses.dataclass(frozen=True)
+class CheckerMatDef:
+    """EXTENSION beyond the reference's schema (its texturing intent is
+    vendored-unused -- SURVEY.md section 2M): RTiOW book-2 checker texture on
+    a lambertian sphere."""
+
+    scale: float
+    even_albedo: tuple[float, float, float]
+    odd_albedo: tuple[float, float, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageMatDef:
+    """EXTENSION: image-textured lambertian sphere; ``file`` is a PNG path
+    (resolved against the config file's directory at load time)."""
+
+    file: str
+
+
+MaterialDef = (
+    AlbedoMatDef | DielectricMatDef | MetallicMatDef | CheckerMatDef
+    | ImageMatDef
+)
 
 _MATERIAL_DEF_TAGS = {
     "AlbedoMatDef": AlbedoMatDef,
     "DielectricMatDef": DielectricMatDef,
     "MetallicMatDef": MetallicMatDef,
+    "CheckerMatDef": CheckerMatDef,
+    "ImageMatDef": ImageMatDef,
 }
 
 
@@ -107,7 +131,9 @@ class WorldDefinition:
     )
 
 
-def _parse_material_def(obj: dict[str, Any]) -> MaterialDef:
+def _parse_material_def(
+    obj: dict[str, Any], base_dir: pathlib.Path | None = None
+) -> MaterialDef:
     """Decode the rfl tagged-union encoding (``core.cc:65``)."""
     tag = obj["material_def"]
     cls = _MATERIAL_DEF_TAGS.get(tag)
@@ -117,6 +143,17 @@ def _parse_material_def(obj: dict[str, Any]) -> MaterialDef:
         return AlbedoMatDef(tuple(float(x) for x in obj["albedo"]))
     if cls is DielectricMatDef:
         return DielectricMatDef(float(obj["refindex"]))
+    if cls is CheckerMatDef:
+        return CheckerMatDef(
+            float(obj["scale"]),
+            tuple(float(x) for x in obj["even_albedo"]),
+            tuple(float(x) for x in obj["odd_albedo"]),
+        )
+    if cls is ImageMatDef:
+        f = pathlib.Path(obj["file"])
+        if base_dir is not None and not f.is_absolute():
+            f = base_dir / f
+        return ImageMatDef(str(f))
     return MetallicMatDef(
         tuple(float(x) for x in obj["albedo"]), float(obj["fuzzines"])
     )
@@ -127,6 +164,15 @@ def material_def_to_json(mat: MaterialDef) -> dict[str, Any]:
         return {"material_def": "AlbedoMatDef", "albedo": list(mat.albedo)}
     if isinstance(mat, DielectricMatDef):
         return {"material_def": "DielectricMatDef", "refindex": mat.refindex}
+    if isinstance(mat, CheckerMatDef):
+        return {
+            "material_def": "CheckerMatDef",
+            "scale": mat.scale,
+            "even_albedo": list(mat.even_albedo),
+            "odd_albedo": list(mat.odd_albedo),
+        }
+    if isinstance(mat, ImageMatDef):
+        return {"material_def": "ImageMatDef", "file": mat.file}
     return {
         "material_def": "MetallicMatDef",
         "albedo": list(mat.albedo),
@@ -134,9 +180,12 @@ def material_def_to_json(mat: MaterialDef) -> dict[str, Any]:
     }
 
 
-def world_from_dict(data: dict[str, Any]) -> WorldDefinition:
+def world_from_dict(
+    data: dict[str, Any], base_dir: pathlib.Path | None = None
+) -> WorldDefinition:
     """Build a WorldDefinition from parsed JSON, applying reference defaults
-    for absent fields (reflect-cpp fills from struct initializers)."""
+    for absent fields (reflect-cpp fills from struct initializers).
+    ``base_dir`` resolves relative ImageMatDef texture paths."""
     defaults = WorldDefinition()
     cam_raw = data.get("camera", {})
     cam_defaults = defaults.camera
@@ -166,7 +215,7 @@ def world_from_dict(data: dict[str, Any]) -> WorldDefinition:
                         tuple(float(x) for x in sphere_raw["center"]),
                         float(sphere_raw["radius"]),
                     ),
-                    _parse_material_def(mat_raw),
+                    _parse_material_def(mat_raw, base_dir),
                 )
             )
     else:
@@ -198,12 +247,14 @@ def world_from_dict(data: dict[str, Any]) -> WorldDefinition:
 
 def load_world(path: str | pathlib.Path) -> WorldDefinition:
     """JSON file -> WorldDefinition (== ``rfl::json::load`` at ``core.cc:102``)."""
+    path = pathlib.Path(path)
     with open(path, "r", encoding="utf-8") as f:
-        return world_from_dict(json.load(f))
+        return world_from_dict(json.load(f), base_dir=path.parent)
 
 
 def _add_explicit_objects(builder: SceneBuilder, objects: Sequence[tuple[SphereDef, MaterialDef]]) -> None:
-    """The rfl::visit material dispatch of ``core.cc:104-122``."""
+    """The rfl::visit material dispatch of ``core.cc:104-122`` (+ the
+    texture extension defs)."""
     for sphere, mat in objects:
         if isinstance(mat, AlbedoMatDef):
             builder.add_lambertian_sphere(sphere.center, sphere.radius, mat.albedo)
@@ -212,6 +263,17 @@ def _add_explicit_objects(builder: SceneBuilder, objects: Sequence[tuple[SphereD
         elif isinstance(mat, MetallicMatDef):
             builder.add_metallic_sphere(
                 sphere.center, sphere.radius, mat.albedo, mat.fuzzines
+            )
+        elif isinstance(mat, CheckerMatDef):
+            builder.add_checker_sphere(
+                sphere.center, sphere.radius, mat.scale, mat.even_albedo,
+                mat.odd_albedo,
+            )
+        elif isinstance(mat, ImageMatDef):
+            from ..utils import png as _png
+
+            builder.add_image_sphere(
+                sphere.center, sphere.radius, _png.read_png(mat.file)
             )
         else:  # pragma: no cover
             raise TypeError(f"unknown material def: {mat!r}")
@@ -348,6 +410,71 @@ def make_world_stress(
         focus_distance=side * 1.2,
         lookfrom=(side * 0.9, side * 0.25, side * 0.9),
         lookat=(0.0, 0.0, 0.0),
+        world_up=(0.0, 1.0, 0.0),
+    )
+    return camera, builder.build()
+
+
+def make_procedural_earth(size: int = 64, seed: int = 7) -> np.ndarray:
+    """A self-contained (size, size, 3) float32 'planet' texture (the
+    environment ships no image assets): latitude-banded ocean/land from
+    smoothed value noise, polar caps."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.random((9, 9))
+    yy, xx = np.mgrid[0:size, 0:size] / (size - 1)
+    # Bilinear upsample of the coarse noise (wrap horizontally: u is seam-
+    # continuous on the sphere).
+    gx = xx * 8
+    gy = yy * 8
+    x0 = np.floor(gx).astype(int)
+    y0 = np.floor(gy).astype(int)
+    fx = gx - x0
+    fy = gy - y0
+    x1 = np.minimum(x0 + 1, 8) % 8
+    y1 = np.minimum(y0 + 1, 8)
+    n = (
+        coarse[y0, x0 % 8] * (1 - fx) * (1 - fy)
+        + coarse[y0, x1] * fx * (1 - fy)
+        + coarse[y1, x0 % 8] * (1 - fx) * fy
+        + coarse[y1, x1] * fx * fy
+    )
+    land = n > 0.55
+    img = np.empty((size, size, 3), np.float32)
+    img[...] = (0.05, 0.15, 0.45)                      # ocean
+    img[land] = (0.15, 0.45, 0.12)                     # land
+    polar = (yy < 0.12) | (yy > 0.88)
+    img[polar] = (0.9, 0.92, 0.95)                     # ice caps
+    return img
+
+
+def make_world_textured(
+    *, image_width: int = 1200, earth_size: int = 64
+) -> tuple[CameraParameters, Scene]:
+    """BASELINE.json configs[2]: checker + image-textured spheres with a
+    defocus camera (the reference's unrealized texturing intent --
+    SURVEY.md section 2M; semantics per ops/texture.py)."""
+    builder = SceneBuilder()
+    builder.add_checker_sphere(
+        (0.0, -1000.0, 0.0), 1000.0, 0.8, (0.2, 0.3, 0.1), (0.9, 0.9, 0.9)
+    )
+    builder.add_image_sphere(
+        (0.0, 1.0, 0.0), 1.0, make_procedural_earth(earth_size)
+    )
+    builder.add_dielectric_sphere((-2.5, 1.0, 1.0), 1.0, 1.5)
+    builder.add_metallic_sphere((2.5, 1.0, -0.5), 1.0, (0.7, 0.6, 0.5), 0.05)
+    builder.add_checker_sphere(
+        (1.2, 0.35, 1.8), 0.35, 0.12, (0.8, 0.1, 0.1), (0.95, 0.85, 0.2)
+    )
+    camera = CameraParameters(
+        aspect_ratio=16.0 / 9.0,
+        image_width=image_width,
+        samples_per_pixel=64,
+        max_depth=16,
+        vertical_fov=25.0,
+        defocus_angle=0.8,
+        focus_distance=9.0,
+        lookfrom=(7.0, 2.2, 5.5),
+        lookat=(0.0, 0.9, 0.0),
         world_up=(0.0, 1.0, 0.0),
     )
     return camera, builder.build()

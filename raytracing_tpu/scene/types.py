@@ -39,6 +39,19 @@ class MaterialKind(enum.IntEnum):
     DIELECTRIC = 2
 
 
+class TextureKind(enum.IntEnum):
+    """Albedo texture per sphere. SOLID uses the constant ``albedo``;
+    CHECKER/IMAGE realize the reference's vendored-but-unwired texturing
+    intent (``/root/reference/third_party/stb/stb_image.h`` and the
+    commented ``Texture::from_file``, ``renderer.common.cc:285-304``) with
+    RTiOW book-2 semantics: checker sampled at the 3D hit point, image
+    sampled by sphere UV from the outward unit normal, nearest texel."""
+
+    SOLID = 0
+    CHECKER = 1
+    IMAGE = 2
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -53,9 +66,25 @@ class Scene:
       mat_kind int32[N]       MaterialKind per sphere
       albedo   float32[N, 3]  lambertian/metal albedo (1.0 for dielectric,
                               matching the dielectric's unit attenuation at
-                              ``material.defs.cc:80``)
+                              ``material.defs.cc:80``); for CHECKER textures
+                              this is the EVEN color
       fuzz     float32[N]     metal fuzziness (0 otherwise)
       ior      float32[N]     dielectric refraction index (1 otherwise)
+
+    Texturing extension (TextureKind; zero-cost when all-SOLID):
+      tex_kind      int32[N]    TextureKind per sphere
+      albedo2       float32[N,3] checker ODD color (0 otherwise)
+      tex_inv_scale float32[N]  checker 1/scale, pre-rounded to an
+                                f16-representable value so the kernel's
+                                16-bit packing is lossless (0 otherwise)
+      tex_id        int32[N]    row into ``textures`` (0 otherwise)
+      tex_wh        int32[N,2]  (width, height) of this sphere's texture's
+                                valid region inside the padded stack
+      textures      float32[T, TH, TW, 3] image texture stack, linear RGB in
+                                [0,1] (bytes/255 exactly, no de-gamma --
+                                RTiOW image_texture semantics); individual
+                                textures are top-left-anchored and padded to
+                                the common (TH, TW)
     """
 
     centers: jnp.ndarray
@@ -64,10 +93,25 @@ class Scene:
     albedo: jnp.ndarray
     fuzz: jnp.ndarray
     ior: jnp.ndarray
+    tex_kind: jnp.ndarray
+    albedo2: jnp.ndarray
+    tex_inv_scale: jnp.ndarray
+    tex_id: jnp.ndarray
+    tex_wh: jnp.ndarray
+    textures: jnp.ndarray
+    # Static (jit-cache-keyed): texture sampling compiles to nothing for
+    # all-SOLID scenes on both backends.
+    has_textures: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_objects(self) -> int:
         return self.centers.shape[0]
+
+    @property
+    def num_textures(self) -> int:
+        return self.textures.shape[0]
 
 
 class SceneBuilder:
@@ -83,14 +127,27 @@ class SceneBuilder:
         self._albedo: list[tuple[float, float, float]] = []
         self._fuzz: list[float] = []
         self._ior: list[float] = []
+        self._tex_kind: list[int] = []
+        self._albedo2: list[tuple[float, float, float]] = []
+        self._tex_inv_scale: list[float] = []
+        self._tex_id: list[int] = []
+        self._textures: list[np.ndarray] = []
 
-    def _push(self, center, radius, kind, albedo, fuzz, ior) -> "SceneBuilder":
+    def _push(
+        self, center, radius, kind, albedo, fuzz, ior,
+        tex_kind=TextureKind.SOLID, albedo2=(0.0, 0.0, 0.0),
+        tex_inv_scale=0.0, tex_id=0,
+    ) -> "SceneBuilder":
         self._centers.append(tuple(float(c) for c in center))
         self._radii.append(float(radius))
         self._kind.append(int(kind))
         self._albedo.append(tuple(float(a) for a in albedo))
         self._fuzz.append(float(fuzz))
         self._ior.append(float(ior))
+        self._tex_kind.append(int(tex_kind))
+        self._albedo2.append(tuple(float(a) for a in albedo2))
+        self._tex_inv_scale.append(float(tex_inv_scale))
+        self._tex_id.append(int(tex_id))
         return self
 
     def add_lambertian_sphere(self, center, radius, albedo) -> "SceneBuilder":
@@ -106,8 +163,72 @@ class SceneBuilder:
             center, radius, MaterialKind.DIELECTRIC, (1.0, 1.0, 1.0), 0.0, refraction_index
         )
 
+    def add_checker_sphere(
+        self, center, radius, scale, even_albedo, odd_albedo
+    ) -> "SceneBuilder":
+        """Lambertian sphere with an RTiOW book-2 checker texture: parity of
+        ``floor(p/scale)`` summed over xyz picks even/odd, sampled at the 3D
+        hit point. ``1/scale`` is rounded to the nearest f16-representable
+        value so the pallas kernel's 16-bit packing reproduces the XLA path
+        exactly."""
+        inv = float(np.float32(np.float16(1.0 / float(scale))))
+        return self._push(
+            center, radius, MaterialKind.LAMBERTIAN, even_albedo, 0.0, 1.0,
+            tex_kind=TextureKind.CHECKER, albedo2=odd_albedo,
+            tex_inv_scale=inv,
+        )
+
+    def add_image_sphere(self, center, radius, image) -> "SceneBuilder":
+        """Lambertian sphere textured by an image (RTiOW book-2
+        image_texture): sphere UV from the outward unit normal, nearest
+        texel, linear color = byte/255 (no de-gamma -- matching the book's
+        stb byte read).
+
+        ``image``: (H, W, 3) uint8 or float array (floats taken as [0,1]).
+        """
+        img = np.asarray(image)
+        if img.ndim != 3 or img.shape[2] < 3:
+            raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
+        img = img[:, :, :3]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        else:
+            img = np.clip(img.astype(np.float32), 0.0, 1.0)
+        tex_id = len(self._textures)
+        self._textures.append(img)
+        return self._push(
+            center, radius, MaterialKind.LAMBERTIAN, (1.0, 1.0, 1.0), 0.0,
+            1.0, tex_kind=TextureKind.IMAGE, tex_id=tex_id,
+        )
+
     def __len__(self) -> int:
         return len(self._radii)
+
+    def _texture_stack(self) -> tuple[np.ndarray, np.ndarray]:
+        """Stack textures padded to common dims; returns (stack, per-sphere
+        (w, h))."""
+        if not self._textures:
+            stack = np.ones((1, 1, 1, 3), np.float32)
+            wh = np.zeros((len(self._radii), 2), np.int32)
+            return stack, wh
+        th = max(t.shape[0] for t in self._textures)
+        tw = max(t.shape[1] for t in self._textures)
+        stack = np.zeros((len(self._textures), th, tw, 3), np.float32)
+        for i, t in enumerate(self._textures):
+            stack[i, : t.shape[0], : t.shape[1]] = t
+        wh = np.array(
+            [
+                (
+                    self._textures[tid].shape[1],
+                    self._textures[tid].shape[0],
+                )
+                if tk == TextureKind.IMAGE
+                else (0, 0)
+                for tk, tid in zip(self._tex_kind, self._tex_id)
+            ],
+            np.int32,
+        )
+        return stack, wh
 
     def build(self) -> Scene:
         if not self._radii:
@@ -117,7 +238,15 @@ class SceneBuilder:
             # -- instead use an explicit zero-size representation.
             z3 = jnp.zeros((0, 3), jnp.float32)
             z1 = jnp.zeros((0,), jnp.float32)
-            return Scene(z3, z1, jnp.zeros((0,), jnp.int32), z3, z1, z1)
+            zi = jnp.zeros((0,), jnp.int32)
+            return Scene(
+                z3, z1, zi, z3, z1, z1,
+                tex_kind=zi, albedo2=z3, tex_inv_scale=z1, tex_id=zi,
+                tex_wh=jnp.zeros((0, 2), jnp.int32),
+                textures=jnp.ones((1, 1, 1, 3), jnp.float32),
+                has_textures=False,
+            )
+        stack, wh = self._texture_stack()
         return Scene(
             centers=jnp.asarray(np.array(self._centers, np.float32)),
             radii=jnp.asarray(np.array(self._radii, np.float32)),
@@ -125,4 +254,13 @@ class SceneBuilder:
             albedo=jnp.asarray(np.array(self._albedo, np.float32)),
             fuzz=jnp.asarray(np.array(self._fuzz, np.float32)),
             ior=jnp.asarray(np.array(self._ior, np.float32)),
+            tex_kind=jnp.asarray(np.array(self._tex_kind, np.int32)),
+            albedo2=jnp.asarray(np.array(self._albedo2, np.float32)),
+            tex_inv_scale=jnp.asarray(np.array(self._tex_inv_scale, np.float32)),
+            tex_id=jnp.asarray(np.array(self._tex_id, np.int32)),
+            tex_wh=jnp.asarray(wh),
+            textures=jnp.asarray(stack),
+            has_textures=any(
+                tk != TextureKind.SOLID for tk in self._tex_kind
+            ),
         )

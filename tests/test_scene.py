@@ -157,3 +157,59 @@ def test_make_world_stress():
     np.testing.assert_array_equal(
         np.asarray(scene.centers), np.asarray(scene2.centers)
     )
+
+
+def test_texture_material_defs_json_roundtrip(tmp_path):
+    """CheckerMatDef / ImageMatDef (schema EXTENSIONS beyond the reference)
+    parse from JSON, resolve relative texture paths against the config dir,
+    and build textured scenes."""
+    import json
+
+    import numpy as np
+
+    from raytracing_tpu.scene import config as rconfig
+    from raytracing_tpu.scene.types import TextureKind
+    from raytracing_tpu.utils import png
+
+    tex = (np.arange(8 * 8 * 3).reshape(8, 8, 3) % 256).astype(np.uint8)
+    png.write_png(str(tmp_path / "tex.png"), tex)
+    cfg = {
+        "camera": {"image_width": 64, "samples_per_pixel": 2, "max_depth": 2},
+        "a_min": 0, "a_max": 0, "b_min": 0, "b_max": 0,
+        "objects": [
+            [
+                {"center": [0, -1000, 0], "radius": 1000},
+                {"material_def": "CheckerMatDef", "scale": 0.5,
+                 "even_albedo": [0.2, 0.3, 0.1], "odd_albedo": [0.9, 0.9, 0.9]},
+            ],
+            [
+                {"center": [0, 1, 0], "radius": 1},
+                {"material_def": "ImageMatDef", "file": "tex.png"},
+            ],
+        ],
+    }
+    path = tmp_path / "world.json"
+    path.write_text(json.dumps(cfg))
+    world = rconfig.load_world(path)
+    assert isinstance(world.objects[0][1], rconfig.CheckerMatDef)
+    assert isinstance(world.objects[1][1], rconfig.ImageMatDef)
+
+    _, scene = rconfig.build_world(world)
+    assert scene.has_textures
+    kinds = np.asarray(scene.tex_kind)
+    assert (kinds == TextureKind.CHECKER).sum() == 1
+    assert (kinds == TextureKind.IMAGE).sum() == 1
+    assert scene.textures.shape == (1, 8, 8, 3)
+    # JSON round-trip of the defs themselves.
+    for _, mat in world.objects:
+        rt = rconfig._parse_material_def(rconfig.material_def_to_json(mat))
+        assert type(rt) is type(mat)
+
+
+def test_make_world_textured_builds():
+    import raytracing_tpu as rt
+
+    cam, scene = rt.make_world_textured(image_width=96)
+    assert scene.has_textures
+    assert scene.num_objects == 5
+    assert cam.defocus_angle > 0  # BASELINE config 3: defocus camera
