@@ -29,8 +29,10 @@ def main() -> None:
     ap.add_argument(
         "--scene", default="cover",
         help="'cover' (488-sphere reference scene), 'textured' "
-        "(BASELINE config 3: checker + image textures, defocus camera), or "
-        "'stress:<N>' (procedural N-sphere grid, scaling characterization)",
+        "(BASELINE config 3: checker + image textures, defocus camera), "
+        "'mesh[:S]' (BASELINE config 4: icosphere mesh, 20*4^S triangles), "
+        "or 'stress:<N>' (procedural N-sphere grid, scaling "
+        "characterization)",
     )
     ap.add_argument(
         "--north-star", action="store_true",
@@ -59,6 +61,18 @@ def main() -> None:
         )
     elif args.scene == "textured":
         cam0, scene = rt.make_world_textured(image_width=args.width)
+        params = dataclasses.replace(
+            cam0,
+            aspect_ratio=16.0 / 9.0,
+            image_width=args.width,
+            samples_per_pixel=args.spp,
+            max_depth=args.depth,
+        )
+    elif args.scene.startswith("mesh"):
+        sub = int(args.scene.split(":", 1)[1]) if ":" in args.scene else 3
+        cam0, scene = rt.make_world_mesh(
+            image_width=args.width, subdivisions=sub
+        )
         params = dataclasses.replace(
             cam0,
             aspect_ratio=16.0 / 9.0,
@@ -95,6 +109,8 @@ def main() -> None:
         metric = "stress_scene_throughput"
     elif args.scene == "textured":
         metric = "textured_scene_throughput"
+    elif args.scene.startswith("mesh"):
+        metric = "mesh_scene_throughput"
     else:
         metric = "cover_scene_throughput"
     print(
@@ -106,7 +122,15 @@ def main() -> None:
                 "vs_baseline": round(mrays / target, 4),
                 "wall_s": round(wall, 3),
                 "segments": segments,
-                "config": f"{params.image_width}x{params.image_height}@{args.spp}spp depth{args.depth} {scene.num_objects} spheres",
+                "config": (
+                    f"{params.image_width}x{params.image_height}@{args.spp}"
+                    f"spp depth{args.depth} {scene.num_objects} spheres"
+                    + (
+                        f" {scene.num_triangles} tris"
+                        if scene.has_triangles
+                        else ""
+                    )
+                ),
             }
         )
     )

@@ -50,6 +50,7 @@ from .scene.config import (
     load_and_build,
     load_world,
     make_world_basic,
+    make_world_mesh,
     make_world_stress,
     make_world_textured,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "load_and_build",
     "load_world",
     "make_world_basic",
+    "make_world_mesh",
     "make_world_stress",
     "make_world_textured",
     "MaterialKind",

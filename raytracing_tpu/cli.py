@@ -51,6 +51,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="progressive ANSI display in the terminal while rendering",
     )
     ap.add_argument(
+        "--interactive",
+        action="store_true",
+        help="keyboard-driven session (a/d orbit, w/s elevate, +/- zoom, "
+        "ESC/x quit) instead of a one-shot render",
+    )
+    ap.add_argument(
+        "--frames",
+        type=int,
+        help="with --interactive: stop after N frames (default: until quit)",
+    )
+    ap.add_argument(
         "--preview-dir",
         help="write preview_NNNN.png snapshots per progress event",
     )
@@ -121,6 +132,18 @@ def main(argv: list[str] | None = None) -> int:
         source, scene.num_objects, cam.image_width,
         cam.image_height, cam.samples_per_pixel, cam.max_depth,
     )
+
+    if args.interactive:
+        from .runtime.interactive import InteractiveSession
+
+        session = InteractiveSession(
+            scene, cam, seed=args.seed, backend=args.backend
+        )
+        frames = session.run(max_frames=args.frames)
+        log.info("interactive session: %d frames", frames)
+        if not args.quiet:
+            print(f"\ninteractive session ended after {frames} frames")
+        return 0
 
     renderer = rt.Renderer(scene, cam, seed=args.seed, backend=args.backend)
 

@@ -61,6 +61,10 @@ _BOUNCE_TAG = 0x10000
 # negligible at scene scale (~unit-radius spheres).
 SELF_HIT_OFFSET = 1.0e-3
 
+# Use the BVH over brute-force triangle intersection above this leaf count
+# (tiny meshes are cheaper as one fused min-reduction).
+TRI_BVH_MIN_LEAVES = 8
+
 
 def sky_color(directions: jnp.ndarray) -> jnp.ndarray:
     """Vertical-gradient background (``core.cc:254-256``)."""
@@ -96,7 +100,7 @@ def trace_rays(
       denominator for Mrays/s -- rays * E[path length], SURVEY.md section 3.3).
     """
     b = origins.shape[0]
-    if scene.num_objects == 0:
+    if scene.num_objects == 0 and not scene.has_triangles:
         # Static empty world: every ray escapes to the sky on its first
         # bounce (or contributes black when max_depth == 0, core.cc:238-240).
         if max_depth <= 0:
@@ -125,21 +129,58 @@ def trace_rays(
         o, d, tp, rad, alive, bounce, segments = state
 
         t, idx, hitm = rintersect.intersect_scene(o, d, scene, use_matmul=use_matmul)
+        if scene.num_objects == 0:
+            idx = jnp.zeros_like(idx)  # no sphere rows to gather; keep shapes
+        if scene.has_triangles:
+            # Closest hit over BOTH primitive families: the min of the two
+            # independent closest hits (each family already reduced over
+            # its own table) equals the reference's single linear scan.
+            tri_fn = (
+                rintersect.intersect_triangles_bvh
+                if scene.num_triangles > 2 * TRI_BVH_MIN_LEAVES
+                else rintersect.intersect_triangles
+            )
+            tt, tidx, thit = tri_fn(o, d, scene)
+            pick_tri = thit & (tt < t)  # sphere t is inf on miss
+            hitm = hitm | thit
         hit = alive & hitm
         miss = alive & ~hitm
 
         # Escaped rays collect the sky exactly once, at this bounce.
         rad = rad + jnp.where(miss[..., None], tp * sky_color(d), 0.0)
 
-        p, normal, front = rintersect.hit_records(o, d, t, idx, scene)
-        kind = scene.mat_kind[idx]
-        if scene.has_textures:
-            outward = jnp.where(front[..., None], normal, -normal)
-            albedo = rtexture.surface_albedo(scene, idx, p, outward)
+        if scene.num_objects > 0:
+            p, normal, front = rintersect.hit_records(o, d, t, idx, scene)
+            kind = scene.mat_kind[idx]
+            if scene.has_textures:
+                outward = jnp.where(front[..., None], normal, -normal)
+                albedo = rtexture.surface_albedo(scene, idx, p, outward)
+            else:
+                albedo = scene.albedo[idx]
+            fuzz = scene.fuzz[idx]
+            ior = scene.ior[idx]
         else:
-            albedo = scene.albedo[idx]
-        fuzz = scene.fuzz[idx]
-        ior = scene.ior[idx]
+            # Triangle-only scene: placeholder sphere records (every lane
+            # that hits picks the triangle branch below).
+            p = jnp.zeros_like(o)
+            normal = jnp.zeros_like(o).at[:, 1].set(1.0)
+            front = jnp.ones((o.shape[0],), bool)
+            kind = jnp.zeros((o.shape[0],), jnp.int32)
+            albedo = jnp.ones_like(o)
+            fuzz = jnp.zeros((o.shape[0],), jnp.float32)
+            ior = jnp.ones((o.shape[0],), jnp.float32)
+        if scene.has_triangles:
+            p_t, n_t, f_t = rintersect.triangle_hit_records(
+                o, d, tt, tidx, scene
+            )
+            pt3 = pick_tri[..., None]
+            p = jnp.where(pt3, p_t, p)
+            normal = jnp.where(pt3, n_t, normal)
+            front = jnp.where(pick_tri, f_t, front)
+            kind = jnp.where(pick_tri, scene.tri_mat_kind[tidx], kind)
+            albedo = jnp.where(pt3, scene.tri_albedo[tidx], albedo)
+            fuzz = jnp.where(pick_tri, scene.tri_fuzz[tidx], fuzz)
+            ior = jnp.where(pick_tri, scene.tri_ior[tidx], ior)
 
         bounce_keys = rrng.fold(keys, _BOUNCE_TAG + bounce)
         unit_vec = rrng.unit_vector(rrng.fold(bounce_keys, rrng.STREAM_UNIT_VEC))

@@ -326,6 +326,126 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     return cxb, cyb, czb, rb, albr, albg, albb, param
 
 
+def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
+    """Closest-hit Moller-Trumbore over all triangles for a (t_sub, 128)
+    ray tile -- the triangle analog of ``_sweep``.
+
+    Division-free valid tests (everything scaled by |det|); the candidate
+    key's t uses a fast approximate reciprocal (the key is already quantized
+    by the id bits; the winner's exact t is recomputed in ``_tri_winner``).
+    Padding rows have e1 = e2 = 0 => det = 0 => never valid.
+
+    Returns packed i32 keys (t bits | triangle id), ``_BIGF`` based on miss.
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    pack_mask = (1 << _pack_bits(m_pad)) - 1
+    blk = min(m_pad, _SWEEP_ROWS)
+    nohit = jnp.full((1, 128), _f32_bits(_BIGF) & ~pack_mask, jnp.int32)
+    n_blocks = m_pad // blk
+    blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+
+    kmin_rows = []
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+
+        def blk_step(bi, kmin_g, sl=sl):
+            base = pl.multiple_of(bi * blk, blk)
+            col = lambda j: tri_ref[pl.ds(base, blk), j : j + 1]  # noqa: E731
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            # h = d x e2 (per pair; d broadcast over the block rows)
+            hx = dy[sl] * e2z - dz[sl] * e2y
+            hy = dz[sl] * e2x - dx[sl] * e2z
+            hz = dx[sl] * e2y - dy[sl] * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            g_s = jnp.where(det < 0.0, -1.0, 1.0)
+            dabs = det * g_s
+            sx = ox[sl] - v0x
+            sy = oy[sl] - v0y
+            sz = oz[sl] - v0z
+            u_s = (sx * hx + sy * hy + sz * hz) * g_s
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v_s = (dx[sl] * qx + dy[sl] * qy + dz[sl] * qz) * g_s
+            t_s = (e2x * qx + e2y * qy + e2z * qz) * g_s
+            r = pl.reciprocal(jnp.maximum(dabs, 1e-30), approx=True)
+            t_apx = t_s * r
+            valid = (
+                (dabs > 1e-12)
+                & (u_s >= 0.0) & (v_s >= 0.0) & (u_s + v_s <= dabs)
+                & (t_apx > _T_MIN) & (t_apx < _BIGF)
+            )
+            key = jnp.where(valid, t_apx, _BIGF)
+            ki = (
+                (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
+                | (blk_ids + base)
+            )
+            return jnp.minimum(kmin_g, jnp.min(ki, axis=0, keepdims=True))
+
+        if n_blocks == 1:
+            kmin_g = blk_step(0, nohit)
+        else:
+            kmin_g = jax.lax.fori_loop(0, n_blocks, blk_step, nohit)
+        kmin_rows.append(kmin_g)
+    return jnp.concatenate(kmin_rows, axis=0)
+
+
+def _tri_winner(tri_ref, kmin, rows, *, m_pad, t_sub):
+    """Gather the winning triangle's 11 columns and redo Moller-Trumbore
+    exactly (f32 divide) -- the id-packed key's quantized t never reaches
+    the image. Returns (hit, t, p, outward unit normal, albedo rgb, param).
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    pack_mask = (1 << _pack_bits(m_pad)) - 1
+    nohit_key = _f32_bits(_BIGF) & ~pack_mask
+    hitk = kmin < nohit_key
+    imin = kmin & pack_mask
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, w1, w2) = _gather_cols(
+        tri_ref, range(11), imin, n_rows=m_pad, t_sub=t_sub
+    )
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = (sx * hx + sy * hy + sz * hz) * inv
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    hit = (
+        hitk & (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > _T_MIN)
+    )
+    t_safe = jnp.where(hit, t, 0.0)
+    px = ox + t_safe * dx
+    py = oy + t_safe * dy
+    pz = oz + t_safe * dz
+    # Outward geometric normal = normalize(e1 x e2).
+    gx = e1y * e2z - e1z * e2y
+    gy = e1z * e2x - e1x * e2z
+    gz = e1x * e2y - e1y * e2x
+    inv_g = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+    # Material words: same 16-bit packing as the sphere shade table.
+    w1i = pltpu.bitcast(w1, jnp.int32)
+    w2i = pltpu.bitcast(w2, jnp.int32)
+    inv16 = jnp.float32(1.0 / 65535.0)
+    albr = ((w1i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    albg = (w1i & 0xFFFF).astype(jnp.float32) * inv16
+    albb = ((w2i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    param = (w2i & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 4096.0) - 2.0
+    return (
+        hit, t_safe, (px, py, pz), (gx * inv_g, gy * inv_g, gz * inv_g),
+        (albr, albg, albb), param,
+    )
+
+
 def _textured_albedo(shade_ref, tex, imin, p, outward_n, base_rgb, *,
                      n_pad, t_sub):
     """Checker / image albedo override (ops/texture.py semantics).
@@ -403,7 +523,7 @@ def _textured_albedo(shade_ref, tex, imin, p, outward_n, base_rgb, *,
     return albr, albg, albb
 
 
-def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None):
+def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
     Args:
@@ -414,6 +534,9 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None):
         ``(tex_ref, kh, kw, tex_rows)``: the pack_textures texel table and
         its static plane dims -- enables the checker/image albedo path
         (ops/texture.py semantics, same formulas).
+      tris: None for sphere-only scenes, or ``(tri_ref, m_pad)``: the
+        pack_triangles table -- enables the Moller-Trumbore sweep merged
+        into the closest hit.
 
     Returns dict with: hitm (bool), new ray origin/direction rows, attenuation
     rgb, scat_ok (bool: hit ray survives the scatter), sky rgb (unweighted
@@ -458,18 +581,44 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None):
     onx = (px - cxb) * invrb  # outward normal (pre-flip; texture UV basis)
     ony = (py - cyb) * invrb
     onz = (pz - czb) * invrb
+
+    if tex is not None:
+        # Textures apply to sphere winners only (a triangle winner below
+        # overwrites the albedo anyway; triangles are solid-color).
+        albr, albg, albb = _textured_albedo(
+            shade_ref, tex, imin, (px, py, pz), (onx, ony, onz),
+            (albr, albg, albb), n_pad=n_pad, t_sub=t_sub,
+        )
+
+    if tris is not None:
+        # Closest hit over BOTH primitive families: sweep the triangle
+        # table, recompute the winner's exact t, take the per-lane min
+        # against the sphere winner's exact t.
+        tri_ref, m_pad = tris
+        kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
+        hit_t, t_t, tp, tn, ta, tparam = _tri_winner(
+            tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub
+        )
+        t_sph = jnp.where(hitm, t_safe, _BIGF)
+        pick = hit_t & ((~hitm) | (t_t < t_sph))
+        hitm = hitm | hit_t
+        px = jnp.where(pick, tp[0], px)
+        py = jnp.where(pick, tp[1], py)
+        pz = jnp.where(pick, tp[2], pz)
+        onx = jnp.where(pick, tn[0], onx)
+        ony = jnp.where(pick, tn[1], ony)
+        onz = jnp.where(pick, tn[2], onz)
+        albr = jnp.where(pick, ta[0], albr)
+        albg = jnp.where(pick, ta[1], albg)
+        albb = jnp.where(pick, ta[2], albb)
+        param = jnp.where(pick, tparam, param)
+
     d_dot_n = dx * onx + dy * ony + dz * onz
     front = d_dot_n < 0.0
     sgn = jnp.where(front, 1.0, -1.0)
     nx = onx * sgn
     ny = ony * sgn
     nz = onz * sgn
-
-    if tex is not None:
-        albr, albg, albb = _textured_albedo(
-            shade_ref, tex, imin, (px, py, pz), (onx, ony, onz),
-            (albr, albg, albb), n_pad=n_pad, t_sub=t_sub,
-        )
 
     # Sky on miss (core.cc:254-256).
     inv_len_d = jax.lax.rsqrt(a)
@@ -633,18 +782,17 @@ def _regen_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [tex_ref when textured,] rad_ref, stats_ref
+    *rest,         # [tex_ref][tri_ref] rad_ref, stats_ref
     n_pad: int,
     tile_shape: tuple[int, int],
     pixel_order: str,
     tex_plane: tuple[int, int, int] | None = None,
+    tri_pad: int | None = None,
 ):
-    if tex_plane is not None:
-        tex_ref, rad_ref, stats_ref = rest
-        tex = (tex_ref, *tex_plane)
-    else:
-        rad_ref, stats_ref = rest
-        tex = None
+    rest = list(rest)
+    tex = (rest.pop(0), *tex_plane) if tex_plane is not None else None
+    tris = (rest.pop(0), tri_pad) if tri_pad is not None else None
+    rad_ref, stats_ref = rest
     spp = meta_ref[5]
     max_depth = meta_ref[6]
     seed = meta_ref[1]
@@ -702,7 +850,7 @@ def _regen_kernel(
         u3 = _uniform01_keyed(slot_h, sample_v, depth, 2)
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub, tex=tex,
+            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris,
         )
         hitm = out["hitm"]
 
@@ -844,6 +992,12 @@ def _render_pixels_fused(
         tex_plane = (kh, kw, tex_table.shape[0])
         tex_inputs = (tex_table,)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    tri_pad = None
+    if scene.has_triangles:
+        tri_table, _ = pack_triangles(scene)
+        tri_pad = tri_table.shape[0]
+        tex_inputs = (*tex_inputs, tri_table)
+        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(
         _regen_kernel,
@@ -851,6 +1005,7 @@ def _render_pixels_fused(
         tile_shape=(t_sub, 128),
         pixel_order=pixel_order,
         tex_plane=tex_plane,
+        tri_pad=tri_pad,
     )
 
     rad, stats = pl.pallas_call(
@@ -945,18 +1100,17 @@ def _trace_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [tex_ref when textured,] rays_ref, rad_ref, stats_ref
+    *rest,         # [tex_ref][tri_ref] rays_ref, rad_ref, stats_ref
     n_pad: int,
     max_depth: int,
     tile_shape: tuple[int, int],
     tex_plane: tuple[int, int, int] | None = None,
+    tri_pad: int | None = None,
 ):
-    if tex_plane is not None:
-        tex_ref, rays_ref, rad_ref, stats_ref = rest
-        tex = (tex_ref, *tex_plane)
-    else:
-        rays_ref, rad_ref, stats_ref = rest
-        tex = None
+    rest = list(rest)
+    tex = (rest.pop(0), *tex_plane) if tex_plane is not None else None
+    tris = (rest.pop(0), tri_pad) if tri_pad is not None else None
+    rays_ref, rad_ref, stats_ref = rest
     seed = meta_ref[1]
     tile_idx = meta_ref[2] + pl.program_id(0)
     t_sub = tile_shape[0]
@@ -996,7 +1150,7 @@ def _trace_kernel(
 
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub, tex=tex,
+            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris,
         )
         hitm = out["hitm"]
         hit_f = jnp.where(hitm, 1.0, 0.0)
@@ -1088,6 +1242,12 @@ def trace_rays_fused(
         tex_plane = (kh, kw, tex_table.shape[0])
         tex_inputs = (tex_table,)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    tri_pad = None
+    if scene.has_triangles:
+        tri_table, _ = pack_triangles(scene)
+        tri_pad = tri_table.shape[0]
+        tex_inputs = (*tex_inputs, tri_table)
+        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(
         _trace_kernel,
@@ -1095,6 +1255,7 @@ def trace_rays_fused(
         max_depth=max_depth,
         tile_shape=(t_sub, 128),
         tex_plane=tex_plane,
+        tri_pad=tri_pad,
     )
 
     rad, stats = pl.pallas_call(
@@ -1212,6 +1373,54 @@ def pack_textures(scene: Scene, cap: int = TEX_KERNEL_CAP):
         jax.lax.bitcast_convert_type(wb, jnp.float32)
     )
     return table, kh, kw, kwh
+
+
+def pack_triangles(scene: Scene, m_pad_multiple: int = _SPHERE_BLOCK):
+    """Triangles -> (tri_table f32[M_pad, 16], m_actual) for the kernel.
+
+    Columns: v0 xyz (0-2), e1 xyz (3-5), e2 xyz (6-8), w1 = alb_r16|alb_g16
+    (9), w2 = alb_b16|param16 (10) -- the same material encoding as the
+    sphere shade table -- rest zero. Triangles stay in BVH leaf order (the
+    Scene already stores them permuted; Morton-like locality for free).
+    Padding rows have e1 = e2 = 0 => Moller-Trumbore det = 0 => never hit.
+    """
+    m = scene.num_triangles
+    m_pad = max(m_pad_multiple, 1 << max(m - 1, 1).bit_length())
+    pad = m_pad - m
+    v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)), constant_values=1.0e9)
+    e1 = jnp.pad(scene.tri_e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(scene.tri_e2, ((0, pad), (0, 0)))
+    kind = jnp.pad(scene.tri_mat_kind, (0, pad))
+    albedo = jnp.pad(scene.tri_albedo, ((0, pad), (0, 0)))
+    fuzz = jnp.pad(scene.tri_fuzz, (0, pad))
+    ior = jnp.pad(scene.tri_ior, (0, pad), constant_values=1.0)
+    kindf = kind.astype(jnp.float32)
+    param = jnp.where(
+        kindf < 0.5,
+        -1.0,
+        jnp.where(
+            kindf < 1.5,
+            jnp.clip(fuzz, 0.0, 1.999),
+            4.0 + jnp.clip(ior, 0.0, 9.99),
+        ),
+    )
+    a16 = jnp.round(jnp.clip(albedo, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    p16 = jnp.round((param + 2.0) * 4096.0).astype(jnp.int32)
+    w1 = jax.lax.bitcast_convert_type(
+        (a16[:, 0] << 16) | a16[:, 1], jnp.float32
+    )
+    w2 = jax.lax.bitcast_convert_type(
+        (a16[:, 2] << 16) | p16, jnp.float32
+    )
+    z = jnp.zeros((m_pad,), jnp.float32)
+    table = jnp.stack(
+        [v0[:, 0], v0[:, 1], v0[:, 2],
+         e1[:, 0], e1[:, 1], e1[:, 2],
+         e2[:, 0], e2[:, 1], e2[:, 2],
+         w1, w2, z, z, z, z, z],
+        axis=1,
+    )
+    return table.astype(jnp.float32), m
 
 
 def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):

@@ -480,6 +480,47 @@ def make_world_textured(
     return camera, builder.build()
 
 
+def make_world_mesh(
+    *, image_width: int = 1200, subdivisions: int = 3,
+    gltf_path: str | pathlib.Path | None = None,
+) -> tuple[CameraParameters, Scene]:
+    """BASELINE.json configs[3]: a triangle-mesh scene with BVH
+    build + traversal. Loads ``gltf_path`` when given; otherwise uses a
+    procedural icosphere mesh (20 * 4^subdivisions triangles; default 1280)
+    so the benchmark is self-contained."""
+    from .types import MaterialKind
+
+    builder = SceneBuilder()
+    builder.add_checker_sphere(
+        (0.0, -1000.0, 0.0), 1000.0, 0.8, (0.35, 0.35, 0.35), (0.15, 0.15, 0.2)
+    )
+    if gltf_path is not None:
+        builder.add_gltf(gltf_path, translate=(0.0, 1.0, 0.0))
+    else:
+        from . import mesh as _mesh
+
+        verts, faces = _mesh.make_icosphere(subdivisions)
+        builder.add_mesh(
+            verts + np.float32([0.0, 1.0, 0.0]), faces,
+            albedo=(0.75, 0.55, 0.25), kind=MaterialKind.METALLIC, fuzz=0.08,
+        )
+    builder.add_dielectric_sphere((-2.4, 0.8, 1.2), 0.8, 1.5)
+    builder.add_lambertian_sphere((2.4, 0.8, -0.6), 0.8, (0.2, 0.35, 0.65))
+    camera = CameraParameters(
+        aspect_ratio=16.0 / 9.0,
+        image_width=image_width,
+        samples_per_pixel=64,
+        max_depth=16,
+        vertical_fov=28.0,
+        defocus_angle=0.0,
+        focus_distance=8.0,
+        lookfrom=(6.0, 2.4, 5.0),
+        lookat=(0.0, 0.9, 0.0),
+        world_up=(0.0, 1.0, 0.0),
+    )
+    return camera, builder.build()
+
+
 def load_and_build(
     path: str | pathlib.Path,
     *,

@@ -85,6 +85,14 @@ class Scene:
                                 RTiOW image_texture semantics); individual
                                 textures are top-left-anchored and padded to
                                 the common (TH, TW)
+
+    Triangle-mesh extension (BASELINE configs[3]; zero-cost when absent):
+      tri_v0/e1/e2  float32[M,3] triangle vertex + two edges (BVH leaf order)
+      tri_mat_kind / tri_albedo / tri_fuzz / tri_ior: per-triangle material
+                                columns (denormalized, like spheres)
+      bvh_min/max   float32[K,3] flattened skip-link BVH node AABBs
+      bvh_skip      int32[K]     node to resume at on AABB miss (scene/mesh.py)
+      bvh_first / bvh_count int32[K] leaf triangle ranges (count 0 = inner)
     """
 
     centers: jnp.ndarray
@@ -99,15 +107,34 @@ class Scene:
     tex_id: jnp.ndarray
     tex_wh: jnp.ndarray
     textures: jnp.ndarray
-    # Static (jit-cache-keyed): texture sampling compiles to nothing for
-    # all-SOLID scenes on both backends.
+    tri_v0: jnp.ndarray
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    tri_mat_kind: jnp.ndarray
+    tri_albedo: jnp.ndarray
+    tri_fuzz: jnp.ndarray
+    tri_ior: jnp.ndarray
+    bvh_min: jnp.ndarray
+    bvh_max: jnp.ndarray
+    bvh_skip: jnp.ndarray
+    bvh_first: jnp.ndarray
+    bvh_count: jnp.ndarray
+    # Static (jit-cache-keyed): texture sampling / triangle intersection
+    # compile to nothing for scenes without them.
     has_textures: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    has_triangles: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
 
     @property
     def num_objects(self) -> int:
         return self.centers.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
 
     @property
     def num_textures(self) -> int:
@@ -132,6 +159,13 @@ class SceneBuilder:
         self._tex_inv_scale: list[float] = []
         self._tex_id: list[int] = []
         self._textures: list[np.ndarray] = []
+        self._tri_v0: list[np.ndarray] = []
+        self._tri_e1: list[np.ndarray] = []
+        self._tri_e2: list[np.ndarray] = []
+        self._tri_kind: list[np.ndarray] = []
+        self._tri_albedo: list[np.ndarray] = []
+        self._tri_fuzz: list[np.ndarray] = []
+        self._tri_ior: list[np.ndarray] = []
 
     def _push(
         self, center, radius, kind, albedo, fuzz, ior,
@@ -201,6 +235,53 @@ class SceneBuilder:
             1.0, tex_kind=TextureKind.IMAGE, tex_id=tex_id,
         )
 
+    def add_mesh(
+        self, vertices, faces, *, albedo=(1.0, 1.0, 1.0),
+        kind: "MaterialKind" = None, fuzz: float = 0.0, ior: float = 1.5,
+    ) -> "SceneBuilder":
+        """Triangle mesh: (V,3) vertices + (F,3) integer faces, one material
+        for the whole primitive (denormalized to per-triangle columns).
+        ``kind`` defaults to LAMBERTIAN."""
+        from . import mesh as _mesh
+
+        kind = MaterialKind.LAMBERTIAN if kind is None else kind
+        v0, e1, e2 = _mesh.faces_to_soa(vertices, faces)
+        m = v0.shape[0]
+        self._tri_v0.append(v0)
+        self._tri_e1.append(e1)
+        self._tri_e2.append(e2)
+        self._tri_kind.append(np.full(m, int(kind), np.int32))
+        alb = (
+            (1.0, 1.0, 1.0) if kind == MaterialKind.DIELECTRIC else albedo
+        )
+        self._tri_albedo.append(
+            np.tile(np.asarray(alb, np.float32), (m, 1))
+        )
+        self._tri_fuzz.append(np.full(m, float(fuzz), np.float32))
+        self._tri_ior.append(np.full(m, float(ior), np.float32))
+        return self
+
+    def add_gltf(
+        self, path, *, scale: float = 1.0, translate=(0.0, 0.0, 0.0)
+    ) -> "SceneBuilder":
+        """Load every triangle primitive from a .gltf/.glb file
+        (scene/gltf.py), mapping pbrMetallicRoughness onto this framework's
+        materials (metallic -> metal with fuzz = roughness, else
+        lambertian)."""
+        from . import gltf as _gltf
+
+        t = np.asarray(translate, np.float32)
+        for prim in _gltf.load_gltf(path):
+            self.add_mesh(
+                prim.vertices * np.float32(scale) + t,
+                prim.faces,
+                albedo=prim.albedo,
+                kind=MaterialKind.METALLIC if prim.metallic
+                else MaterialKind.LAMBERTIAN,
+                fuzz=prim.fuzz,
+            )
+        return self
+
     def __len__(self) -> int:
         return len(self._radii)
 
@@ -230,12 +311,52 @@ class SceneBuilder:
         )
         return stack, wh
 
+    def _triangle_pack(self) -> dict:
+        """Concatenate meshes, build the BVH, permute to leaf order."""
+        from . import mesh as _mesh
+
+        if not self._tri_v0:
+            z3 = jnp.zeros((0, 3), jnp.float32)
+            z1 = jnp.zeros((0,), jnp.float32)
+            zi = jnp.zeros((0,), jnp.int32)
+            one_node = jnp.zeros((1, 3), jnp.float32)
+            return dict(
+                tri_v0=z3, tri_e1=z3, tri_e2=z3, tri_mat_kind=zi,
+                tri_albedo=z3, tri_fuzz=z1, tri_ior=z1,
+                bvh_min=one_node, bvh_max=one_node,
+                bvh_skip=jnp.ones((1,), jnp.int32),
+                bvh_first=jnp.zeros((1,), jnp.int32),
+                bvh_count=jnp.zeros((1,), jnp.int32),
+                has_triangles=False,
+            )
+        v0 = np.concatenate(self._tri_v0)
+        e1 = np.concatenate(self._tri_e1)
+        e2 = np.concatenate(self._tri_e2)
+        kind = np.concatenate(self._tri_kind)
+        albedo = np.concatenate(self._tri_albedo)
+        fuzz = np.concatenate(self._tri_fuzz)
+        ior = np.concatenate(self._tri_ior)
+        bvh = _mesh.build_bvh(v0, e1, e2)
+        o = bvh.order
+        return dict(
+            tri_v0=jnp.asarray(v0[o]), tri_e1=jnp.asarray(e1[o]),
+            tri_e2=jnp.asarray(e2[o]),
+            tri_mat_kind=jnp.asarray(kind[o]),
+            tri_albedo=jnp.asarray(albedo[o]),
+            tri_fuzz=jnp.asarray(fuzz[o]), tri_ior=jnp.asarray(ior[o]),
+            bvh_min=jnp.asarray(bvh.node_min),
+            bvh_max=jnp.asarray(bvh.node_max),
+            bvh_skip=jnp.asarray(bvh.skip),
+            bvh_first=jnp.asarray(bvh.first),
+            bvh_count=jnp.asarray(bvh.count),
+            has_triangles=True,
+        )
+
     def build(self) -> Scene:
+        tri = self._triangle_pack()
         if not self._radii:
-            # Empty world: rays always miss and shade sky (core.cc:254-256).
-            # Keep one degenerate (radius 0 => delta < 0 always... radius 0
-            # gives delta = h^2 - a*|oc|^2 <= 0 with equality measure-zero)
-            # -- instead use an explicit zero-size representation.
+            # Sphere-less world: rays shade sky (core.cc:254-256) unless a
+            # mesh is present. Explicit zero-size sphere representation.
             z3 = jnp.zeros((0, 3), jnp.float32)
             z1 = jnp.zeros((0,), jnp.float32)
             zi = jnp.zeros((0,), jnp.int32)
@@ -245,6 +366,7 @@ class SceneBuilder:
                 tex_wh=jnp.zeros((0, 2), jnp.int32),
                 textures=jnp.ones((1, 1, 1, 3), jnp.float32),
                 has_textures=False,
+                **tri,
             )
         stack, wh = self._texture_stack()
         return Scene(
@@ -263,4 +385,5 @@ class SceneBuilder:
             has_textures=any(
                 tk != TextureKind.SOLID for tk in self._tex_kind
             ),
+            **tri,
         )

@@ -1,0 +1,103 @@
+"""Interactive session: key bindings, camera rig, event loop (the analog of
+the reference's SDL event pump + ESC quit, platform.window.cc:110-140)."""
+
+import io
+import math
+import subprocess
+import sys
+
+import numpy as np
+
+import raytracing_tpu as rt
+from raytracing_tpu.runtime.interactive import ESC, InteractiveSession
+from raytracing_tpu.scene.types import SceneBuilder
+
+
+def _session(backend="pallas", width=64):
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_lambertian_sphere((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3))
+    scene = b.build()
+    params = rt.CameraParameters(
+        aspect_ratio=2.0, image_width=width, samples_per_pixel=2, max_depth=3,
+        vertical_fov=45.0, defocus_angle=0.0, focus_distance=2.0,
+        lookfrom=(0.0, 0.5, 1.5), lookat=(0.0, 0.0, -1.0),
+    )
+    return InteractiveSession(
+        scene, params, seed=0, backend=backend, stream=io.StringIO()
+    )
+
+
+def test_key_bindings_move_the_camera():
+    s = _session()
+    az0, el0, d0 = s.orbit.azimuth, s.orbit.elevation, s.orbit.distance
+    s.handle_key("a")
+    assert s.orbit.azimuth < az0
+    s.handle_key("d")
+    s.handle_key("d")
+    assert s.orbit.azimuth > az0
+    s.handle_key("w")
+    assert s.orbit.elevation > el0
+    s.handle_key("+")
+    assert s.orbit.distance < d0
+    s.handle_key("-")
+    s.handle_key("r")
+    assert (s.orbit.azimuth, s.orbit.elevation, s.orbit.distance) == (
+        az0, el0, d0,
+    )
+    s.handle_key("?")  # unbound: ignored, like unhandled SDL events
+    assert not s.quit
+    s.handle_key(ESC)
+    assert s.quit
+
+
+def test_elevation_clamped():
+    s = _session()
+    for _ in range(100):
+        s.handle_key("w")
+    assert s.orbit.elevation <= math.radians(85.0) + 1e-9
+    # lookfrom stays finite and at the configured distance.
+    lf = np.asarray(s.orbit.lookfrom())
+    assert np.isfinite(lf).all()
+
+
+def test_step_renders_and_camera_motion_changes_image():
+    s = _session()
+    img0 = s.step()
+    img1 = s.step("dddddddddd")  # 60 degrees of orbit
+    assert img0.shape == img1.shape == (32, 64, 3)
+    assert s.frames_rendered == 2
+    assert not np.array_equal(img0, img1)
+    out = s.display.stream.getvalue()
+    assert "Elapsed" in out and "keys:" in out
+
+
+def test_quit_key_ends_run():
+    s = _session()
+    s.handle_key("x")
+    assert s.run(max_frames=10) == 0  # already quit: no frames
+
+
+def test_run_headless_fixed_frames():
+    s = _session()
+    assert s.run(max_frames=2) == 2
+    assert s.frames_rendered == 2
+
+
+def test_cli_interactive_smoke():
+    """--interactive through the real CLI entry point (stdin is a pipe ->
+    headless fixed-frame mode)."""
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "raytracing_tpu",
+            "--config", "data/config/world.config.json",
+            "--width", "64", "--spp", "1", "--depth", "2",
+            "--interactive", "--frames", "1",
+        ],
+        stdin=subprocess.DEVNULL,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "interactive session ended after 1 frames" in proc.stdout

@@ -1,0 +1,376 @@
+"""Triangle meshes: Moller-Trumbore, BVH build/traversal, glTF loading.
+
+BASELINE configs[3] target ("triangle-mesh scene loaded via tinygltf with
+BVH build + traversal"); the reference only vendors tinygltf
+(/root/reference/third_party/tinygltf/, GLTFError at src/error.hpp:17-20).
+"""
+
+import base64
+import json
+import struct
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+import raytracing_tpu as rt
+from raytracing_tpu.core import rng as rrng
+from raytracing_tpu.models import integrator
+from raytracing_tpu.ops import intersect as rintersect
+from raytracing_tpu.scene import gltf as rgltf
+from raytracing_tpu.scene import mesh as rmesh
+from raytracing_tpu.scene.types import MaterialKind, SceneBuilder
+
+
+def _keys(n, seed=0):
+    return rrng.ray_keys(jr.key(seed), jnp.arange(n, dtype=jnp.int32))
+
+
+# --- BVH build ---------------------------------------------------------------
+
+
+def test_bvh_structure_and_bounds():
+    verts, faces = rmesh.make_icosphere(2)  # 320 tris
+    v0, e1, e2 = rmesh.faces_to_soa(verts, faces)
+    bvh = rmesh.build_bvh(v0, e1, e2)
+    m = len(faces)
+    assert sorted(bvh.order.tolist()) == list(range(m))
+    # Root bounds contain the unit sphere.
+    np.testing.assert_array_compare(np.less_equal, bvh.node_min[0], -0.99)
+    np.testing.assert_array_compare(np.greater_equal, bvh.node_max[0], 0.99)
+    # Leaves cover all triangles exactly once, in order.
+    leaves = bvh.count > 0
+    total = bvh.count[leaves].sum()
+    assert total == m
+    # Skip links: every skip points past the node, root's skip == K.
+    k = len(bvh.skip)
+    assert bvh.skip[0] == k
+    assert (bvh.skip > np.arange(k)).all()
+    # Each node's box contains its leaf triangles.
+    for ni in np.flatnonzero(leaves)[:10]:
+        f, c = bvh.first[ni], bvh.count[ni]
+        ids = bvh.order[f : f + c]
+        pts = np.concatenate([v0[ids], v0[ids] + e1[ids], v0[ids] + e2[ids]])
+        assert (pts >= bvh.node_min[ni] - 1e-5).all()
+        assert (pts <= bvh.node_max[ni] + 1e-5).all()
+
+
+def test_bvh_matches_brute_force():
+    """BVH traversal must return the identical closest hit as the O(M)
+    masked min-reduction for every ray."""
+    verts, faces = rmesh.make_icosphere(2)
+    b = SceneBuilder()
+    b.add_mesh(verts, faces, albedo=(0.5, 0.5, 0.5))
+    scene = b.build()
+    n = 2048
+    d = rrng.unit_vector(_keys(n, 1))
+    o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]], jnp.float32), (n, 1))
+
+    t_b, i_b, h_b = rintersect.intersect_triangles(o, d, scene)
+    t_v, i_v, h_v = rintersect.intersect_triangles_bvh(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_v))
+    hb = np.asarray(h_b)
+    np.testing.assert_allclose(
+        np.asarray(t_b)[hb], np.asarray(t_v)[hb], rtol=1e-6
+    )
+    # Index ties can differ only where two triangles share the exact t
+    # (edges); demand equality for 99.9%+.
+    same = (np.asarray(i_b) == np.asarray(i_v)) | ~hb
+    assert same.mean() > 0.999
+
+
+def test_ray_inside_and_grazing():
+    # Single triangle in the z=-1 plane.
+    b = SceneBuilder()
+    b.add_mesh(
+        np.array([[-1, -1, -1], [1, -1, -1], [0, 1, -1]], np.float32),
+        np.array([[0, 1, 2]]),
+    )
+    scene = b.build()
+    o = jnp.zeros((3, 3), jnp.float32)
+    d = jnp.array(
+        [[0, 0, -1.0], [0, 0, 1.0], [5.0, 0, -1.0]], jnp.float32
+    )
+    t, idx, hit = rintersect.intersect_triangles(o, d, scene)
+    assert bool(hit[0]) and abs(float(t[0]) - 1.0) < 1e-6
+    assert not bool(hit[1])   # behind
+    assert not bool(hit[2])   # outside barycentric range
+
+
+def test_triangle_hit_records_front_face():
+    b = SceneBuilder()
+    b.add_mesh(
+        np.array([[-1, -1, -1], [1, -1, -1], [0, 1, -1]], np.float32),
+        np.array([[0, 1, 2]]),
+    )
+    scene = b.build()
+    o = jnp.array([[0, 0, 0.0], [0, 0, -2.0]], jnp.float32)
+    d = jnp.array([[0, 0, -1.0], [0, 0, 1.0]], jnp.float32)
+    t, idx, hit = rintersect.intersect_triangles(o, d, scene)
+    p, nrm, front = rintersect.triangle_hit_records(o, d, t, idx, scene)
+    assert bool(hit[0]) and bool(hit[1])
+    nrm = np.asarray(nrm)
+    # Normal must oppose the ray on both sides (two-sided triangle).
+    assert nrm[0] @ [0, 0, -1] < 0
+    assert nrm[1] @ [0, 0, 1] < 0
+
+
+# --- integrator with meshes ---------------------------------------------------
+
+
+def test_mesh_occludes_sky():
+    """A big triangle 'wall' in front of the camera must darken radiance vs
+    the empty sky, and a lambertian mesh + sphere scene must stay bounded."""
+    b = SceneBuilder()
+    b.add_mesh(
+        np.array(
+            [[-50, -50, -2], [50, -50, -2], [0, 80, -2]], np.float32
+        ),
+        np.array([[0, 1, 2]]),
+        albedo=(0.1, 0.1, 0.1),
+    )
+    b.add_lambertian_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5))
+    scene = b.build()
+    n = 256
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    o = jnp.zeros_like(d)
+    rad, seg = integrator.trace_rays(scene, o, d, _keys(n, 2), max_depth=4)
+    rad = np.asarray(rad)
+    assert rad.mean() < 0.2  # dark wall, not sky (sky would be ~0.75)
+    assert np.isfinite(rad).all()
+    assert int(seg) >= n
+
+
+def test_mesh_closest_hit_vs_sphere():
+    """A triangle in front of a sphere must win the closest-hit merge."""
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, 0.0, -3.0), 1.0, (1.0, 0.0, 0.0), 0.0)
+    b.add_mesh(  # wall at z=-1, fully covering the sphere from the origin
+        np.array([[-5, -5, -1], [5, -5, -1], [0, 8, -1]], np.float32),
+        np.array([[0, 1, 2]]),
+        albedo=(0.0, 1.0, 0.0),
+    )
+    scene = b.build()
+    n = 64
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    o = jnp.zeros_like(d)
+    rad, _ = integrator.trace_rays(scene, o, d, _keys(n, 3), max_depth=3)
+    m = np.asarray(rad).mean(0)
+    assert m[1] > m[0] + 0.05, m  # green wall, not red sphere
+
+
+def test_mesh_render_end_to_end():
+    verts, faces = rmesh.make_icosphere(1)
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    b.add_mesh(verts * 1.0 + np.float32([0, 1, 0]), faces,
+               albedo=(0.8, 0.3, 0.2))
+    scene = b.build()
+    params = rt.CameraParameters(
+        aspect_ratio=2.0, image_width=64, samples_per_pixel=4, max_depth=4,
+        vertical_fov=30.0, defocus_angle=0.0, focus_distance=5.0,
+        lookfrom=(0.0, 1.5, 5.0), lookat=(0.0, 1.0, 0.0),
+    )
+    img = rt.Renderer(scene, params, seed=1, backend="xla").render()
+    assert img.shape == (32, 64, 3)
+    # The mesh ball must be visible: center rows redder than sky-blue top.
+    center = img[12:20, 24:40].astype(float).mean(axis=(0, 1))
+    top = img[0:4].astype(float).mean(axis=(0, 1))
+    assert center[0] / max(center[2], 1) > top[0] / max(top[2], 1)
+
+
+# --- glTF loader ---------------------------------------------------------------
+
+
+def _tiny_gltf_doc(positions, indices, *, metallic=0.0, base=(1, 0, 0, 1)):
+    pos = np.asarray(positions, np.float32)
+    idx = np.asarray(indices, np.uint16)
+    blob = pos.tobytes() + idx.tobytes()
+    return {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [0.0, 0.0, -2.0]}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": 0},
+                "indices": 1,
+                "material": 0,
+            }]
+        }],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": list(base),
+                "metallicFactor": metallic,
+                "roughnessFactor": 0.25,
+            }
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(pos),
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": idx.size,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": idx.nbytes},
+        ],
+        "buffers": [{"byteLength": len(blob)}],
+    }, blob
+
+
+def _write_glb(path, doc, blob):
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    blob = blob + b"\x00" * ((-len(blob)) % 4)
+    body = (
+        struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(blob), 0x004E4942) + blob
+    )
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, 12 + len(body)) + body)
+
+
+def test_gltf_glb_roundtrip(tmp_path):
+    positions = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]]
+    indices = [0, 1, 2, 2, 1, 3]
+    doc, blob = _tiny_gltf_doc(positions, indices)
+    p = tmp_path / "quad.glb"
+    _write_glb(p, doc, blob)
+    prims = rgltf.load_gltf(p)
+    assert len(prims) == 1
+    assert prims[0].faces.shape == (2, 3)
+    # Node translation applied.
+    np.testing.assert_allclose(prims[0].vertices[0], [0, 0, -2], atol=1e-6)
+    assert prims[0].albedo == (1.0, 0.0, 0.0)
+    assert not prims[0].metallic
+
+
+def test_gltf_json_with_data_uri(tmp_path):
+    positions = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    doc, blob = _tiny_gltf_doc(positions, [0, 1, 2], metallic=1.0,
+                               base=(0.9, 0.8, 0.7, 1.0))
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    p = tmp_path / "tri.gltf"
+    p.write_text(json.dumps(doc))
+    prims = rgltf.load_gltf(p)
+    assert prims[0].metallic and prims[0].fuzz == 0.25
+    np.testing.assert_allclose(prims[0].albedo, (0.9, 0.8, 0.7))
+
+
+def test_gltf_into_scene_builder(tmp_path):
+    doc, blob = _tiny_gltf_doc(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]], [0, 1, 2]
+    )
+    p = tmp_path / "tri.glb"
+    _write_glb(p, doc, blob)
+    b = SceneBuilder()
+    b.add_gltf(p, scale=2.0, translate=(0.0, 5.0, 0.0))
+    scene = b.build()
+    assert scene.has_triangles and scene.num_triangles == 1
+    # scale*pos + translate, after the node's own -2 z translation.
+    np.testing.assert_allclose(
+        np.asarray(scene.tri_v0[0]), [0.0, 5.0, -4.0], atol=1e-5
+    )
+    assert int(scene.tri_mat_kind[0]) == MaterialKind.LAMBERTIAN
+
+
+def test_gltf_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.glb"
+    p.write_bytes(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(rgltf.GLTFError):
+        rgltf.load_gltf(p)
+
+
+# --- pallas kernel triangle parity --------------------------------------------
+
+
+def _run_fused_rays(scene, o, d, depth, seed=3):
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from raytracing_tpu.ops.pallas import trace as ptrace
+
+    if jax.default_backend() in ("tpu", "axon"):
+        rad, seg = ptrace.trace_rays_fused(
+            scene, o, d, jnp.int32(seed), jnp.int32(0), depth
+        )
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            rad, seg = ptrace.trace_rays_fused(
+                scene, o, d, jnp.int32(seed), jnp.int32(0), depth
+            )
+    return np.asarray(rad), int(seg)
+
+
+def _metal_mesh_scene():
+    """Deterministic: all-metal fuzz-0 icosphere + metal ground + a metal
+    sphere, so kernel/XLA paths are RNG-free and must agree."""
+    verts, faces = rmesh.make_icosphere(1)  # 80 tris
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_metallic_sphere((1.5, 0.0, -2.0), 0.5, (0.9, 0.6, 0.2), 0.0)
+    b.add_mesh(
+        verts * 0.6 + np.float32([-0.9, 0.1, -2.0]), faces,
+        albedo=(0.8, 0.8, 0.9), kind=MaterialKind.METALLIC, fuzz=0.0,
+    )
+    return b.build()
+
+
+def test_pallas_mesh_deterministic_parity():
+    scene = _metal_mesh_scene()
+    n = 1024
+    keys = _keys(n, seed=6)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    rad_p, seg_p = _run_fused_rays(scene, o, d, 5)
+    rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 5)
+    assert seg_p == int(seg_x), (seg_p, int(seg_x))
+    rx = np.asarray(rad_x)
+    err = np.abs(rad_p - rx)
+    tight = (err <= 1e-3).all(axis=1)
+    assert tight.mean() >= 0.995, f"only {tight.mean():.4f} rays match"
+    assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
+
+
+def test_pallas_mesh_only_scene():
+    """Triangles with ZERO spheres through the kernel."""
+    verts, faces = rmesh.make_icosphere(1)
+    b = SceneBuilder()
+    b.add_mesh(verts, faces, albedo=(0.9, 0.2, 0.2),
+               kind=MaterialKind.METALLIC, fuzz=0.0)
+    scene = b.build()
+    assert scene.num_objects == 0 and scene.has_triangles
+    n = 1024
+    keys = _keys(n, 8)
+    # Spread directions (identical rays would concentrate the whole batch on
+    # one possibly-edge-grazing triangle where backend tie-breaks differ).
+    d = rrng.unit_vector(keys)
+    o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]], jnp.float32), (n, 1))
+    rad_p, seg_p = _run_fused_rays(scene, o, d, 4)
+    rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 4)
+    assert seg_p == int(seg_x)
+    rx = np.asarray(rad_x)
+    tight = (np.abs(rad_p - rx) <= 1e-3).all(axis=1)
+    # Edge-adjacent triangle ties may flip between backends (quantized
+    # packed keys + approx-reciprocal candidates vs exact argmin).
+    assert tight.mean() >= 0.99, f"only {tight.mean():.4f} rays match"
+    assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 2e-2
+
+
+def test_renderer_mesh_pallas_vs_xla_image():
+    scene = _metal_mesh_scene()
+    params = rt.CameraParameters(
+        aspect_ratio=2.0, image_width=64, samples_per_pixel=8, max_depth=5,
+        vertical_fov=45.0, defocus_angle=0.0, focus_distance=3.0,
+        lookfrom=(0.0, 0.6, 1.5), lookat=(0.0, 0.0, -2.0),
+    )
+    img_x = rt.Renderer(scene, params, seed=2, backend="xla").render()
+    img_p = rt.Renderer(scene, params, seed=2, backend="pallas").render()
+    bx = img_x.astype(np.float32).reshape(8, 4, 16, 4, 3).mean(axis=(1, 3))
+    bp = img_p.astype(np.float32).reshape(8, 4, 16, 4, 3).mean(axis=(1, 3))
+    assert np.abs(bx - bp).max() < 28.0, np.abs(bx - bp).max()
