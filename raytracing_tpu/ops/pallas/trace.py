@@ -69,6 +69,9 @@ DEFAULT_TILE_RAYS = 1024
 _SPHERE_BLOCK = 128
 # Sphere rows processed per sweep step (bounds VMEM intermediates).
 _SWEEP_ROWS = 512
+# Stage-2 window of the two-level closest hit (scenes padded past
+# _SWEEP_ROWS rows); must be a power of two >= 128.
+_WIN = 128
 
 _T_MIN = 1.0e-4          # hit interval lower bound (core.cc:243)
 _BIGF = 3.0e38           # "no hit" key (positive-float == int ordering)
@@ -248,6 +251,55 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
     return jnp.concatenate(kmin_rows, axis=0)
 
 
+def _fold_half(t, bit, stop: int = 8):
+    """Binary-tournament fold of a bit-pattern tile down to ``stop`` rows.
+
+    ``t`` is (size, 1) or (size, 128) f32; ``bit`` is a list of (1, 128)
+    bools, ``bit[k]`` = bit k of each lane's selected row index. Each level
+    keeps the half of the rows containing every lane's selection
+    (bit-preserving f32 selects -- packed integer columns survive).
+    """
+    size = t.shape[0]
+    while size > stop:
+        half = size // 2
+        t = jnp.where(bit[half.bit_length() - 1], t[half:size], t[:half])
+        size = half
+    return t
+
+
+def _fold_half_i16(t, bit, stop: int = 8):
+    """``_fold_half`` running on a bitcast int16 view of the f32 tile.
+
+    Mosaic's f32 -> i16 bitcast interleaves the two 16-bit halves of each
+    f32 row into adjacent i16 rows (f32 row r <-> i16 rows 2r, 2r+1;
+    verified by scripts/probe_dtype.py), so range-halving maps 1:1 with
+    doubled indices -- the selection bit for an i16 level of size 2s is the
+    f32 bit for size s -- and each 16-bit select moves twice the rows per
+    vreg. Bit patterns are preserved end to end; returns f32 (stop, 128).
+    """
+    t = pltpu.bitcast(t, jnp.int16)
+    size = t.shape[0]
+    while size > 2 * stop:
+        half = size // 2
+        t = jnp.where(bit[half.bit_length() - 2], t[half:size], t[:half])
+        size = half
+    return pltpu.bitcast(t, jnp.float32)
+
+
+def _fold8(t, bit):
+    """Collapse an (8, 128) tile to the per-lane selected row (1, 128) with
+    three sublane rotate-select rounds."""
+    for shift in (4, 2, 1):
+        rolled = pltpu.roll(t, 8 - shift, axis=0)
+        t = jnp.where(bit[shift.bit_length() - 1], rolled, t)
+    return t[0:1]
+
+
+def _fold_to_row(t, bit):
+    """Full fold: (size, 1|128) f32 tile -> per-lane selected row (1, 128)."""
+    return _fold8(_fold_half(t, bit), bit)
+
+
 def _gather_cols(table_ref, col_ids, sel_rows, *, n_rows, t_sub):
     """Radix-select fetch of per-lane rows from a (n_rows, C) VMEM table.
 
@@ -291,18 +343,21 @@ def _gather_cols(table_ref, col_ids, sel_rows, *, n_rows, t_sub):
                 )
             else:
                 t = full_cols[jj]
-            size = win
-            while size > 8:
-                half = size // 2
-                t = jnp.where(
-                    bit[half.bit_length() - 1], t[half:size], t[:half]
-                )
-                size = half
-            for shift in (4, 2, 1):
-                rolled = pltpu.roll(t, 8 - shift, axis=0)
-                t = jnp.where(bit[shift.bit_length() - 1], rolled, t)
-            outs[jj].append(t[0:1])
+            outs[jj].append(_fold_to_row(t, bit))
     return [jnp.concatenate(o, axis=0) for o in outs]
+
+
+def _mat_decode(w1, w2):
+    """Decode the 16-bit packed material words (pack_scene encoding):
+    w1 = alb_r16 | alb_g16, w2 = alb_b16 | param16."""
+    w1i = pltpu.bitcast(w1, jnp.int32)
+    w2i = pltpu.bitcast(w2, jnp.int32)
+    inv16 = jnp.float32(1.0 / 65535.0)
+    albr = ((w1i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    albg = (w1i & 0xFFFF).astype(jnp.float32) * inv16
+    albb = ((w2i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
+    param = (w2i & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 4096.0) - 2.0
+    return albr, albg, albb, param
 
 
 def _gather(shade_ref, imin, *, n_pad, t_sub):
@@ -315,15 +370,140 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     cxb, cyb, czb, rb, w1, w2 = _gather_cols(
         shade_ref, range(6), imin, n_rows=n_pad, t_sub=t_sub
     )
-    # Decode the 16-bit packed material words (pack_scene encoding).
-    w1i = pltpu.bitcast(w1, jnp.int32)
-    w2i = pltpu.bitcast(w2, jnp.int32)
-    inv16 = jnp.float32(1.0 / 65535.0)
-    albr = ((w1i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
-    albg = (w1i & 0xFFFF).astype(jnp.float32) * inv16
-    albb = ((w2i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
-    param = (w2i & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 4096.0) - 2.0
+    albr, albg, albb, param = _mat_decode(w1, w2)
     return cxb, cyb, czb, rb, albr, albg, albb, param
+
+
+def _closest_sphere_two_level(
+    geh_ref, gec_ref, shade_ref, rows, *, n_pad, t_sub, textured
+):
+    """Two-level closest hit over spheres for scenes past _SWEEP_ROWS rows.
+
+    Round 1's path (global packed-key argmin + per-column radix gather with
+    an O(N/window) select-fori collapse) costs O(N) VPU work per gathered
+    column and collapses super-linearly past ~2k rows. This version:
+
+      * Stage 1 sweeps every sphere exactly as before (same f32 quadratic,
+        ``object.defs.cc:41-66`` semantics) but reduces each ``_WIN``-row
+        window to ONE candidate key, packing the window id into the low
+        ``log2(n_pad/_WIN)`` key bits -- a per-lane (min key | window).
+      * Stage 2 tournament-collapses the 7 needed columns (cx, cy, cz, r,
+        cm2, w1, w2; +4 texture words) to the winner window's (WIN, 128)
+        per-lane tiles (ONE O(N) fold each), re-runs the identical f32
+        quadratic on the 128 collapsed rows with 7-bit row ids, and folds
+        the winner's row out of the already-collapsed tiles.
+
+    The stage-2 expressions reuse the stage-1 values bit-for-bit
+    (``m2c = -2*c`` is an exact power-of-two multiply, so the collapsed
+    centers reproduce geom_c's columns exactly), so the two stages agree on
+    every candidate key; closest-hit quantization tightens from
+    ``log2(n_pad)`` packed id bits (round 1) to ``log2(n_pad/_WIN) + 7``.
+
+    Returns (hitm, cx, cy, cz, r, alb_r, alb_g, alb_b, param, texcols)
+    tiles of shape (t_sub, 128); ``texcols`` is (w3, w4, tinv, w5) when
+    ``textured`` else None.
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    a = dx * dx + dy * dy + dz * dz
+    d_dot_o = dx * ox + dy * oy + dz * oz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+    ta = _T_MIN * a
+
+    n_win = n_pad // _WIN
+    wbits = _pack_bits(n_win)
+    wmask = (1 << wbits) - 1
+    win_shift = _WIN.bit_length() - 1
+    blk = min(n_pad, _SWEEP_ROWS)
+    nwin_blk = blk // _WIN
+    n_blocks = n_pad // blk
+    nohit_w = jnp.full((1, 128), _f32_bits(_BIGF) & ~wmask, jnp.int32)
+
+    rmask = _WIN - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_WIN, 1), 0)
+    nohit_r = _f32_bits(_BIGF) & ~rmask
+    idx_bits = max((n_pad - 1).bit_length(), win_shift + 1)
+
+    col_list = [
+        (shade_ref, 0), (shade_ref, 1), (shade_ref, 2), (shade_ref, 3),
+        (gec_ref, 3), (shade_ref, 4), (shade_ref, 5),
+    ]
+    if textured:
+        col_list += [
+            (shade_ref, 6), (shade_ref, 7), (shade_ref, 8), (shade_ref, 9)
+        ]
+
+    hit_rows = []
+    col_rows = [[] for _ in col_list]
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+
+        def blk_step(b, kwin_g, sl=sl):
+            base = pl.multiple_of(b * blk, blk)
+            cx = geh_ref[pl.ds(base, blk), 0:1]
+            cy = geh_ref[pl.ds(base, blk), 1:2]
+            cz = geh_ref[pl.ds(base, blk), 2:3]
+            m2cx = gec_ref[pl.ds(base, blk), 0:1]
+            m2cy = gec_ref[pl.ds(base, blk), 1:2]
+            m2cz = gec_ref[pl.ds(base, blk), 2:3]
+            cm2 = gec_ref[pl.ds(base, blk), 3:4]
+            h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
+            cq = (
+                cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl]
+                + o_dot_o[sl]
+            )
+            delta = h * h - a[sl] * cq
+            sq = jnp.sqrt(delta)
+            n1 = h - sq
+            n2 = h + sq
+            nroot = jnp.where(n1 > ta[sl], n1, n2)
+            key = jnp.where(nroot > ta[sl], nroot, _BIGF)
+            for j in range(nwin_blk):
+                wkey = jnp.min(
+                    key[j * _WIN : (j + 1) * _WIN], axis=0, keepdims=True
+                )
+                ki = (pltpu.bitcast(wkey, jnp.int32) & ~wmask) | (
+                    b * nwin_blk + j
+                )
+                kwin_g = jnp.minimum(kwin_g, ki)
+            return kwin_g
+
+        if n_blocks == 1:
+            kwin = blk_step(0, nohit_w)
+        else:
+            kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
+
+        # Stage 2: collapse columns to the winner window, exact re-sweep.
+        start = (kwin & wmask) << win_shift  # absolute first row (1, 128)
+        bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
+        collapsed = [
+            _fold_half(ref[:, c : c + 1], bit, stop=_WIN)
+            for (ref, c) in col_list
+        ]
+        cxw, cyw, czw, _rw, cm2w, _w1w, _w2w = collapsed[:7]
+        h = cxw * dx[sl] + cyw * dy[sl] + czw * dz[sl] - d_dot_o[sl]
+        cq = (
+            cm2w + (-2.0 * cxw) * ox[sl] + (-2.0 * cyw) * oy[sl]
+            + (-2.0 * czw) * oz[sl] + o_dot_o[sl]
+        )
+        delta = h * h - a[sl] * cq
+        sq = jnp.sqrt(delta)
+        n1 = h - sq
+        n2 = h + sq
+        nroot = jnp.where(n1 > ta[sl], n1, n2)
+        key = jnp.where(nroot > ta[sl], nroot, _BIGF)
+        ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
+        kmin = jnp.min(ki, axis=0, keepdims=True)
+        hit_rows.append(kmin < nohit_r)
+        rbit = [((kmin >> k) & 1) > 0 for k in range(win_shift)]
+        for jj, t in enumerate(collapsed):
+            col_rows[jj].append(_fold_to_row(t, rbit))
+
+    hitm = jnp.concatenate(hit_rows, axis=0)
+    cols = [jnp.concatenate(rws, axis=0) for rws in col_rows]
+    cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
+    albr, albg, albb, param = _mat_decode(cols[5], cols[6])
+    texcols = tuple(cols[7:11]) if textured else None
+    return hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols
 
 
 def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
@@ -392,19 +572,129 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
     return jnp.concatenate(kmin_rows, axis=0)
 
 
+def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub):
+    """Two-level Moller-Trumbore closest hit for meshes past _SWEEP_ROWS
+    triangles -- the triangle analog of ``_closest_sphere_two_level``.
+
+    Stage 1 runs the division-free candidate test over every triangle
+    (identical arithmetic to ``_tri_sweep``) but packs only a per-``_WIN``
+    window minimum (approx-t key | window id). Stage 2 tournament-collapses
+    the 11 triangle columns to the winner window's per-lane (WIN, 128)
+    tiles, recomputes the identical candidate keys there with 7-bit row
+    ids, folds the winner's row out of the collapsed tiles, and hands it to
+    the exact f32 re-test (``_tri_exact``). Replaces the per-column
+    O(M) gather fori that collapsed super-linearly on large meshes.
+
+    Returns what ``_tri_winner`` returns.
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    n_win = m_pad // _WIN
+    wbits = _pack_bits(n_win)
+    wmask = (1 << wbits) - 1
+    win_shift = _WIN.bit_length() - 1
+    blk = min(m_pad, _SWEEP_ROWS)
+    nwin_blk = blk // _WIN
+    n_blocks = m_pad // blk
+    nohit_w = jnp.full((1, 128), _f32_bits(_BIGF) & ~wmask, jnp.int32)
+    rmask = _WIN - 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_WIN, 1), 0)
+    nohit_r = _f32_bits(_BIGF) & ~rmask
+    idx_bits = max((m_pad - 1).bit_length(), win_shift + 1)
+
+    def tri_keys(col, sl):
+        """Division-free M-T candidate key rows -- must match _tri_sweep's
+        arithmetic exactly (stage 1 and stage 2 run the same code)."""
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        hx = dy[sl] * e2z - dz[sl] * e2y
+        hy = dz[sl] * e2x - dx[sl] * e2z
+        hz = dx[sl] * e2y - dy[sl] * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        g_s = jnp.where(det < 0.0, -1.0, 1.0)
+        dabs = det * g_s
+        sx = ox[sl] - v0x
+        sy = oy[sl] - v0y
+        sz = oz[sl] - v0z
+        u_s = (sx * hx + sy * hy + sz * hz) * g_s
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v_s = (dx[sl] * qx + dy[sl] * qy + dz[sl] * qz) * g_s
+        t_s = (e2x * qx + e2y * qy + e2z * qz) * g_s
+        r = pl.reciprocal(jnp.maximum(dabs, 1e-30), approx=True)
+        t_apx = t_s * r
+        valid = (
+            (dabs > 1e-12)
+            & (u_s >= 0.0) & (v_s >= 0.0) & (u_s + v_s <= dabs)
+            & (t_apx > _T_MIN) & (t_apx < _BIGF)
+        )
+        return jnp.where(valid, t_apx, _BIGF)
+
+    hit_rows = []
+    col_rows = [[] for _ in range(11)]
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+
+        def blk_step(bi, kwin_g, sl=sl):
+            base = pl.multiple_of(bi * blk, blk)
+            key = tri_keys(
+                lambda j: tri_ref[pl.ds(base, blk), j : j + 1], sl
+            )
+            for j in range(nwin_blk):
+                wkey = jnp.min(
+                    key[j * _WIN : (j + 1) * _WIN], axis=0, keepdims=True
+                )
+                ki = (pltpu.bitcast(wkey, jnp.int32) & ~wmask) | (
+                    bi * nwin_blk + j
+                )
+                kwin_g = jnp.minimum(kwin_g, ki)
+            return kwin_g
+
+        if n_blocks == 1:
+            kwin = blk_step(0, nohit_w)
+        else:
+            kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
+
+        start = (kwin & wmask) << win_shift
+        bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
+        collapsed = [
+            _fold_half(tri_ref[:, c : c + 1], bit, stop=_WIN)
+            for c in range(11)
+        ]
+        key = tri_keys(lambda j: collapsed[j], sl)
+        ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
+        kmin = jnp.min(ki, axis=0, keepdims=True)
+        hit_rows.append(kmin < nohit_r)
+        rbit = [((kmin >> k) & 1) > 0 for k in range(win_shift)]
+        for jj, t in enumerate(collapsed):
+            col_rows[jj].append(_fold_to_row(t, rbit))
+
+    hitk = jnp.concatenate(hit_rows, axis=0)
+    cols = [jnp.concatenate(rws, axis=0) for rws in col_rows]
+    return _tri_exact(cols, hitk, rows)
+
+
 def _tri_winner(tri_ref, kmin, rows, *, m_pad, t_sub):
     """Gather the winning triangle's 11 columns and redo Moller-Trumbore
     exactly (f32 divide) -- the id-packed key's quantized t never reaches
     the image. Returns (hit, t, p, outward unit normal, albedo rgb, param).
     """
-    ox, oy, oz, dx, dy, dz = rows
     pack_mask = (1 << _pack_bits(m_pad)) - 1
     nohit_key = _f32_bits(_BIGF) & ~pack_mask
     hitk = kmin < nohit_key
     imin = kmin & pack_mask
-    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, w1, w2) = _gather_cols(
+    cols = _gather_cols(
         tri_ref, range(11), imin, n_rows=m_pad, t_sub=t_sub
     )
+    return _tri_exact(cols, hitk, rows)
+
+
+def _tri_exact(cols, hitk, rows):
+    """Exact Moller-Trumbore on the winner's 11 fetched columns
+    (t_sub, 128 tiles); shared by the flat and two-level triangle paths."""
+    ox, oy, oz, dx, dy, dz = rows
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, w1, w2) = cols
     hx = dy * e2z - dz * e2y
     hy = dz * e2x - dx * e2z
     hz = dx * e2y - dy * e2x
@@ -446,12 +736,12 @@ def _tri_winner(tri_ref, kmin, rows, *, m_pad, t_sub):
     )
 
 
-def _textured_albedo(shade_ref, tex, imin, p, outward_n, base_rgb, *,
-                     n_pad, t_sub):
+def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
     """Checker / image albedo override (ops/texture.py semantics).
 
-    Gathers the 4 texture columns of the widened shade table (see
-    pack_scene) for each lane's winner, then:
+    ``texcols`` are the winner's 4 texture words (w3, w4, tinv, w5) of the
+    widened shade table (see pack_scene), already fetched by the caller's
+    gather path. Then:
       * checker: parity of floor(inv_scale * p) summed over xyz picks the
         odd color (sampled at the 3D hit point);
       * image: sphere UV from the outward unit normal (shared polynomial
@@ -467,9 +757,7 @@ def _textured_albedo(shade_ref, tex, imin, p, outward_n, base_rgb, *,
     albr, albg, albb = base_rgb
     inv16 = jnp.float32(1.0 / 65535.0)
 
-    w3, w4, tinv, w5 = _gather_cols(
-        shade_ref, (6, 7, 8, 9), imin, n_rows=n_pad, t_sub=t_sub
-    )
+    w3, w4, tinv, w5 = texcols
     w3i = pltpu.bitcast(w3, jnp.int32)
     w4i = pltpu.bitcast(w4, jnp.int32)
     w5i = pltpu.bitcast(w5, jnp.int32)
@@ -545,18 +833,34 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
     geh_ref, gec_ref, shade_ref = refs
     ox, oy, oz, dx, dy, dz = rows
     u1, u2, u3 = uniforms
-    pack_mask = (1 << _pack_bits(n_pad)) - 1
 
     a = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
 
-    kmin = _sweep(geh_ref, gec_ref, rows, n_pad=n_pad, t_sub=t_sub)
-    nohit_key = _f32_bits(_BIGF) & ~pack_mask
-    hitm = kmin < nohit_key
-    imin = kmin & pack_mask
-    cxb, cyb, czb, rb, albr, albg, albb, param = _gather(
-        shade_ref, imin, n_pad=n_pad, t_sub=t_sub
-    )
+    if n_pad > _SWEEP_ROWS:
+        # Large scenes: two-level sweep (window prefilter + exact re-sweep
+        # of collapsed winner windows) -- O(N) work once, not per column.
+        (hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols) = (
+            _closest_sphere_two_level(
+                geh_ref, gec_ref, shade_ref, rows,
+                n_pad=n_pad, t_sub=t_sub, textured=tex is not None,
+            )
+        )
+    else:
+        pack_mask = (1 << _pack_bits(n_pad)) - 1
+        kmin = _sweep(geh_ref, gec_ref, rows, n_pad=n_pad, t_sub=t_sub)
+        nohit_key = _f32_bits(_BIGF) & ~pack_mask
+        hitm = kmin < nohit_key
+        imin = kmin & pack_mask
+        cxb, cyb, czb, rb, albr, albg, albb, param = _gather(
+            shade_ref, imin, n_pad=n_pad, t_sub=t_sub
+        )
+        if tex is not None:
+            texcols = tuple(
+                _gather_cols(
+                    shade_ref, (6, 7, 8, 9), imin, n_rows=n_pad, t_sub=t_sub
+                )
+            )
 
     # Exact winner root, recomputed per ray (the swept key lost
     # _pack_bits mantissa bits to the id packing).
@@ -586,8 +890,8 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
         # Textures apply to sphere winners only (a triangle winner below
         # overwrites the albedo anyway; triangles are solid-color).
         albr, albg, albb = _textured_albedo(
-            shade_ref, tex, imin, (px, py, pz), (onx, ony, onz),
-            (albr, albg, albb), n_pad=n_pad, t_sub=t_sub,
+            tex, texcols, (px, py, pz), (onx, ony, onz),
+            (albr, albg, albb), t_sub=t_sub,
         )
 
     if tris is not None:
@@ -595,10 +899,15 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
         # table, recompute the winner's exact t, take the per-lane min
         # against the sphere winner's exact t.
         tri_ref, m_pad = tris
-        kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
-        hit_t, t_t, tp, tn, ta, tparam = _tri_winner(
-            tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub
-        )
+        if m_pad > _SWEEP_ROWS:
+            hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
+                tri_ref, rows, m_pad=m_pad, t_sub=t_sub
+            )
+        else:
+            kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
+            hit_t, t_t, tp, tn, ta, tparam = _tri_winner(
+                tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub
+            )
         t_sph = jnp.where(hitm, t_safe, _BIGF)
         pick = hit_t & ((~hitm) | (t_t < t_sph))
         hitm = hitm | hit_t

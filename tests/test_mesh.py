@@ -337,6 +337,33 @@ def test_pallas_mesh_deterministic_parity():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
 
 
+def test_pallas_mesh_two_level_parity():
+    """>512 triangles (m_pad 2048) exercises the kernel's two-level
+    triangle path (stage-1 window prefilter + collapsed-window exact
+    re-test, ops/pallas/trace._closest_tri_two_level) against the XLA
+    integrator on a deterministic all-metal scene."""
+    verts, faces = rmesh.make_icosphere(3)  # 1280 tris
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_mesh(
+        verts * 0.8 + np.float32([0.0, 0.3, -2.0]), faces,
+        albedo=(0.8, 0.8, 0.9), kind=MaterialKind.METALLIC, fuzz=0.0,
+    )
+    scene = b.build()
+    assert scene.num_triangles == 1280
+    n = 1024
+    keys = _keys(n, seed=11)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    rad_p, seg_p = _run_fused_rays(scene, o, d, 4)
+    rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 4)
+    assert seg_p == int(seg_x), (seg_p, int(seg_x))
+    rx = np.asarray(rad_x)
+    tight = (np.abs(rad_p - rx) <= 1e-3).all(axis=1)
+    assert tight.mean() >= 0.995, f"only {tight.mean():.4f} rays match"
+    assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
+
+
 def test_pallas_mesh_only_scene():
     """Triangles with ZERO spheres through the kernel."""
     verts, faces = rmesh.make_icosphere(1)
