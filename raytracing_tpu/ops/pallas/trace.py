@@ -73,6 +73,18 @@ _SWEEP_ROWS = 512
 # _SWEEP_ROWS rows); must be a power of two >= 128.
 _WIN = 128
 
+
+def _two_level_enabled(n_pad: int) -> bool:
+    """Static (trace-time) switch for the two-level closest hit.
+
+    Defaults to scenes padded past _SWEEP_ROWS. RT_TWO_LEVEL_MIN overrides
+    the threshold (row count; large value disables) for A/B benchmarking.
+    """
+    import os
+
+    min_rows = int(os.environ.get("RT_TWO_LEVEL_MIN", _SWEEP_ROWS + 1))
+    return n_pad >= max(min_rows, _SWEEP_ROWS + 1)
+
 _T_MIN = 1.0e-4          # hit interval lower bound (core.cc:243)
 _BIGF = 3.0e38           # "no hit" key (positive-float == int ordering)
 _SELF_HIT_OFFSET = 1.0e-3  # see models/integrator.SELF_HIT_OFFSET
@@ -286,6 +298,50 @@ def _fold_half_i16(t, bit, stop: int = 8):
     return pltpu.bitcast(t, jnp.float32)
 
 
+def _collapse_window_blocked(col_list, bit, sblk, *, n_rows):
+    """Collapse each (n_rows, 1) column of ``col_list`` ((ref, col) pairs)
+    to the per-lane winner window as a (_WIN, 128) tile.
+
+    A whole-table tournament would materialize (n_rows/2, 128) first-fold
+    tiles for EVERY column and Mosaic keeps them live concurrently --
+    measured 30 MB of scoped VMEM at 8192 rows x 7 columns (stack OOM).
+    Instead each _SWEEP_ROWS block is folded down to its window candidate
+    and a select keyed on the winner's block index (``sblk``, (1, 128))
+    carries the winner through one fori pass over the table for ALL
+    columns: live intermediates stay O(block) regardless of n_rows.
+
+    ``bit`` are the winner-start bits (global start = win_id * _WIN); its
+    low bits double as the within-block window position, so the same list
+    drives both the block-local fold and the final row folds.
+    """
+    cblk = min(n_rows, _SWEEP_ROWS)
+    n_blocks = n_rows // cblk
+    if n_blocks == 1:
+        return [
+            _fold_half(ref[:, c : c + 1], bit, stop=_WIN)
+            for ref, c in col_list
+        ]
+
+    def step(b, carry):
+        base = pl.multiple_of(b * cblk, cblk)
+        keep = sblk == b
+        return tuple(
+            jnp.where(
+                keep,
+                _fold_half(ref[pl.ds(base, cblk), c : c + 1], bit, stop=_WIN),
+                acc,
+            )
+            for (ref, c), acc in zip(col_list, carry)
+        )
+
+    z = jnp.zeros((_WIN, 128), jnp.float32)
+    return list(
+        jax.lax.fori_loop(
+            0, n_blocks, step, tuple(z for _ in col_list)
+        )
+    )
+
+
 def _fold8(t, bit):
     """Collapse an (8, 128) tile to the per-lane selected row (1, 128) with
     three sublane rotate-select rounds."""
@@ -432,6 +488,12 @@ def _closest_sphere_two_level(
             (shade_ref, 6), (shade_ref, 7), (shade_ref, 8), (shade_ref, 9)
         ]
 
+    # Benchmark-only ablation hook (scripts/probe_two_level.py): "stage1"
+    # skips the collapse/re-sweep, "stage2" skips the window sweep.
+    import os
+
+    _ablate = os.environ.get("RT_ABLATE", "full")
+
     hit_rows = []
     col_rows = [[] for _ in col_list]
     for g in range(t_sub):
@@ -467,18 +529,25 @@ def _closest_sphere_two_level(
                 kwin_g = jnp.minimum(kwin_g, ki)
             return kwin_g
 
-        if n_blocks == 1:
+        if _ablate == "stage2":
+            kwin = nohit_w
+        elif n_blocks == 1:
             kwin = blk_step(0, nohit_w)
         else:
             kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
+        if _ablate == "stage1":
+            hit_rows.append(kwin)
+            for jj in range(len(col_list)):
+                col_rows[jj].append(jnp.zeros((1, 128), jnp.float32))
+            continue
 
         # Stage 2: collapse columns to the winner window, exact re-sweep.
         start = (kwin & wmask) << win_shift  # absolute first row (1, 128)
         bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
-        collapsed = [
-            _fold_half(ref[:, c : c + 1], bit, stop=_WIN)
-            for (ref, c) in col_list
-        ]
+        sblk = start >> (blk.bit_length() - 1)  # winner's collapse block
+        collapsed = _collapse_window_blocked(
+            col_list, bit, sblk, n_rows=n_pad
+        )
         cxw, cyw, czw, _rw, cm2w, _w1w, _w2w = collapsed[:7]
         h = cxw * dx[sl] + cyw * dy[sl] + czw * dz[sl] - d_dot_o[sl]
         cq = (
@@ -493,12 +562,12 @@ def _closest_sphere_two_level(
         key = jnp.where(nroot > ta[sl], nroot, _BIGF)
         ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
         kmin = jnp.min(ki, axis=0, keepdims=True)
-        hit_rows.append(kmin < nohit_r)
+        hit_rows.append(kmin)  # i1 tiles can't concatenate; compare later
         rbit = [((kmin >> k) & 1) > 0 for k in range(win_shift)]
         for jj, t in enumerate(collapsed):
             col_rows[jj].append(_fold_to_row(t, rbit))
 
-    hitm = jnp.concatenate(hit_rows, axis=0)
+    hitm = jnp.concatenate(hit_rows, axis=0) < nohit_r
     cols = [jnp.concatenate(rws, axis=0) for rws in col_rows]
     cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
     albr, albg, albb, param = _mat_decode(cols[5], cols[6])
@@ -658,19 +727,19 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub):
 
         start = (kwin & wmask) << win_shift
         bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
-        collapsed = [
-            _fold_half(tri_ref[:, c : c + 1], bit, stop=_WIN)
-            for c in range(11)
-        ]
+        sblk = start >> (blk.bit_length() - 1)  # winner's collapse block
+        collapsed = _collapse_window_blocked(
+            [(tri_ref, c) for c in range(11)], bit, sblk, n_rows=m_pad
+        )
         key = tri_keys(lambda j: collapsed[j], sl)
         ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
         kmin = jnp.min(ki, axis=0, keepdims=True)
-        hit_rows.append(kmin < nohit_r)
+        hit_rows.append(kmin)  # i1 tiles can't concatenate; compare later
         rbit = [((kmin >> k) & 1) > 0 for k in range(win_shift)]
         for jj, t in enumerate(collapsed):
             col_rows[jj].append(_fold_to_row(t, rbit))
 
-    hitk = jnp.concatenate(hit_rows, axis=0)
+    hitk = jnp.concatenate(hit_rows, axis=0) < nohit_r
     cols = [jnp.concatenate(rws, axis=0) for rws in col_rows]
     return _tri_exact(cols, hitk, rows)
 
@@ -837,7 +906,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
     a = dx * dx + dy * dy + dz * dz
     d_dot_o = dx * ox + dy * oy + dz * oz
 
-    if n_pad > _SWEEP_ROWS:
+    if _two_level_enabled(n_pad):
         # Large scenes: two-level sweep (window prefilter + exact re-sweep
         # of collapsed winner windows) -- O(N) work once, not per column.
         (hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols) = (
@@ -899,7 +968,7 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
         # table, recompute the winner's exact t, take the per-lane min
         # against the sphere winner's exact t.
         tri_ref, m_pad = tris
-        if m_pad > _SWEEP_ROWS:
+        if _two_level_enabled(m_pad):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
                 tri_ref, rows, m_pad=m_pad, t_sub=t_sub
             )
