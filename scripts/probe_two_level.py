@@ -45,11 +45,15 @@ def main():
     rad, seg = run(0)
     rad.block_until_ready()
     best = 1e30
+    times = []
     for i in range(5):
         t0 = time.perf_counter()
         rad, seg = run(i + 1)  # vary seed: the tunnel dedupes identical runs
-        rad.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        _ = float(jnp.sum(rad))  # force a real round-trip fetch
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        best = min(best, dt)
+    print("  times(ms):", [round(t * 1e3, 1) for t in times])
     segs = float(seg)
     cyc = best * 0.94e9 / segs
     print(
