@@ -40,10 +40,19 @@ def main() -> None:
         "1920x1080 @ 1000 spp, depth 50 (overrides --spp/--depth/--width)",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--max-rays-per-batch", type=int, default=None,
+        help="Renderer wave-size bound. Larger waves amortize in-kernel "
+        "straggler lanes (long-tail path lengths) across more samples -- "
+        "north-star mode defaults to 1<<24 so depth-50 chunks carry "
+        "hundreds of samples per slot instead of 32.",
+    )
     args = ap.parse_args()
 
     if args.north_star:
         args.width, args.spp, args.depth = 1920, 1000, 50
+        if args.max_rays_per_batch is None:
+            args.max_rays_per_batch = 1 << 24
 
     import dataclasses
 
@@ -91,11 +100,14 @@ def main() -> None:
         )
         _, scene = rt.build_world(dataclasses.replace(world, camera=params))
 
-    renderer = rt.Renderer(scene, params, seed=args.seed)
+    rkw = {}
+    if args.max_rays_per_batch is not None:
+        rkw["max_rays_per_batch"] = args.max_rays_per_batch
+    renderer = rt.Renderer(scene, params, seed=args.seed, **rkw)
     # Warmup: compile every wave shape once.
     renderer.render(spp=args.warmup_spp)
 
-    renderer = rt.Renderer(scene, params, seed=args.seed)
+    renderer = rt.Renderer(scene, params, seed=args.seed, **rkw)
     t0 = time.perf_counter()
     renderer.render(spp=args.spp)
     wall = time.perf_counter() - t0

