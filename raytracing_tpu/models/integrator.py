@@ -25,6 +25,14 @@ work over a fixed-trip scan.
 RNG: every draw derives from the per-ray key folded with the bounce index, so
 radiance is a pure function of (seed, global ray id) -- independent of batch
 chunking, sharding, or device count.
+
+Performance policy: this backend is the PORTABLE path (CPU tests, oracle
+comparisons, sharding semantics). On TPU it measures ~45x over its flop bound
+(profiled round 1; cause undetermined -- suspects are (B, N) layout churn and
+HIGHEST-precision small-K dots) and ``Renderer(backend="auto")`` therefore
+selects the pallas megakernel on tpu/axon platforms. Do not use ``"xla"`` on
+TPU for performance work without re-profiling (see CLAUDE.md "Known weak
+spots").
 """
 
 from __future__ import annotations
