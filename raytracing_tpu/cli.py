@@ -163,6 +163,12 @@ def main(argv: list[str] | None = None) -> int:
         def on_progress(p, _cbs=tuple(callbacks)):
             for cb in _cbs:
                 cb(p)
+    elif args.checkpoint:
+        # Ctrl-C checkpointing persists completed chunks; keep the chunked
+        # wave plan (a no-observer render would otherwise run as one wave
+        # and have nothing to save mid-flight).
+        def on_progress(p):
+            pass
 
     profiler_cm = None
     if args.profile_dir:

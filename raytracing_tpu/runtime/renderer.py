@@ -452,6 +452,14 @@ class Renderer:
             pixel_order = "linear"
         total_slots = len(all_ids)
         pixel_block, chunk_spp = self._plan(spp, total_slots)
+        if on_progress is None and self.backend == "pallas":
+            # Chunking exists for progress/checkpoint granularity; with no
+            # observer, trace the whole budget in as few waves as possible
+            # (chunk size does not affect kernel memory -- it is a runtime
+            # loop bound -- and big waves amortize the straggler-lane tail
+            # best). Capped at 256 spp/wave to bound single-dispatch
+            # latency; the measured straggler benefit saturates by ~250.
+            chunk_spp = max(chunk_spp, min(spp, 256))
 
         slot_mode = self.backend == "pallas"
         pad = (-total_slots) % pixel_block
