@@ -70,8 +70,11 @@ _SPHERE_BLOCK = 128
 # Sphere rows processed per sweep step (bounds VMEM intermediates).
 _SWEEP_ROWS = 512
 # Stage-2 window of the two-level closest hit (scenes padded past
-# _SWEEP_ROWS rows); must be a power of two >= 128.
-_WIN = 128
+# _SWEEP_ROWS rows); power of two in [8, _SWEEP_ROWS]. Smaller windows
+# shrink the collapse accumulators (live vregs across the fori) and the
+# stage-2 re-sweep at the cost of one more packed window-id bit per
+# halving. RT_WIN overrides for A/B benchmarking.
+_WIN = int(__import__("os").environ.get("RT_WIN", "128"))
 
 
 def _two_level_enabled(n_pad: int) -> bool:
@@ -299,7 +302,7 @@ def _fold_half_i16(t, bit, stop: int = 8):
     return pltpu.bitcast(t, jnp.float32)
 
 
-def _collapse_window_blocked(col_list, bit, sblk, *, n_rows):
+def _collapse_window_blocked(col_list, bit, sblk, *, n_rows, _split=True):
     """Collapse each (n_rows, 1) column of ``col_list`` ((ref, col) pairs)
     to the per-lane winner window as a (_WIN, 128) tile.
 
@@ -326,6 +329,21 @@ def _collapse_window_blocked(col_list, bit, sblk, *, n_rows):
     import os
 
     _prebcast = os.environ.get("RT_PREBCAST") == "1"  # A/B knob
+    colsplit = int(os.environ.get("RT_COLSPLIT", "1"))  # A/B knob
+    if _split and colsplit > 1 and len(col_list) > colsplit:
+        # Partition the columns over several fori passes: fewer live
+        # (_WIN, 128) loop-carried accumulators per pass (register
+        # pressure probe; extra passes re-read the cheap column slices).
+        step = -(-len(col_list) // colsplit)
+        out = []
+        for i in range(0, len(col_list), step):
+            out.extend(
+                _collapse_window_blocked(
+                    col_list[i : i + step], bit, sblk, n_rows=n_rows,
+                    _split=False,
+                )
+            )
+        return out
     zrow = jnp.zeros((1, 128), jnp.float32)
 
     def step(b, carry):
