@@ -113,3 +113,17 @@ def test_png_roundtrip(tmp_path):
     png.write_png(path, img)
     back = png.read_png(path)
     np.testing.assert_array_equal(back, img)
+
+
+def test_plan_caps_wave_count_for_large_budgets():
+    """Straggler amortization: a sample budget is never split into more
+    than ~4 waves (a kernel wave ends when ALL lanes finish their chunk,
+    so many small chunks pay the long-path tail repeatedly -- measured
+    41 -> 77 Mrays/s on the cover scene at depth 50, chunk 32 -> 128)."""
+    r = Renderer(_small_scene(), _params(), seed=0, backend="pallas")
+    slots_1080p = 2_073_600
+    _, chunk = r._plan(1000, slots_1080p)
+    assert chunk >= 250
+    # Small budgets are not split at all.
+    _, chunk = r._plan(4, slots_1080p)
+    assert chunk == 4
