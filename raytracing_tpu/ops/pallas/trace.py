@@ -302,7 +302,7 @@ def _fold_half_i16(t, bit, stop: int = 8):
     return pltpu.bitcast(t, jnp.float32)
 
 
-def _collapse_window_blocked(col_list, bit, sblk, *, n_rows, _split=True):
+def _collapse_window_blocked(col_list, bit, sblk, *, n_rows):
     """Collapse each (n_rows, 1) column of ``col_list`` ((ref, col) pairs)
     to the per-lane winner window as a (_WIN, 128) tile.
 
@@ -326,38 +326,22 @@ def _collapse_window_blocked(col_list, bit, sblk, *, n_rows, _split=True):
             for ref, c in col_list
         ]
 
-    import os
-
-    _prebcast = os.environ.get("RT_PREBCAST") == "1"  # A/B knob
-    colsplit = int(os.environ.get("RT_COLSPLIT", "1"))  # A/B knob
-    if _split and colsplit > 1 and len(col_list) > colsplit:
-        # Partition the columns over several fori passes: fewer live
-        # (_WIN, 128) loop-carried accumulators per pass (register
-        # pressure probe; extra passes re-read the cheap column slices).
-        step = -(-len(col_list) // colsplit)
-        out = []
-        for i in range(0, len(col_list), step):
-            out.extend(
-                _collapse_window_blocked(
-                    col_list[i : i + step], bit, sblk, n_rows=n_rows,
-                    _split=False,
-                )
-            )
-        return out
-    zrow = jnp.zeros((1, 128), jnp.float32)
+    # Structure is measured-optimal on this toolchain (stress:2048 A/B,
+    # CLAUDE.md): static-slice unrolling, arithmetic-materialized
+    # broadcasts, explicit min trees, split column passes (register
+    # pressure), and window sizes 32/64 all measured neutral-to-worse.
 
     def step(b, carry):
         base = pl.multiple_of(b * cblk, cblk)
         keep = sblk == b
-        out = []
-        for (ref, c), acc in zip(col_list, carry):
-            col = ref[pl.ds(base, cblk), c : c + 1]
-            if _prebcast:
-                # Materialize the lane broadcast through the (cheap)
-                # arithmetic path instead of inside the first select.
-                col = col + zrow
-            out.append(jnp.where(keep, _fold_half(col, bit, stop=_WIN), acc))
-        return tuple(out)
+        return tuple(
+            jnp.where(
+                keep,
+                _fold_half(ref[pl.ds(base, cblk), c : c + 1], bit, stop=_WIN),
+                acc,
+            )
+            for (ref, c), acc in zip(col_list, carry)
+        )
 
     z = jnp.zeros((_WIN, 128), jnp.float32)
     return list(
@@ -365,27 +349,6 @@ def _collapse_window_blocked(col_list, bit, sblk, *, n_rows, _split=True):
             0, n_blocks, step, tuple(z for _ in col_list)
         )
     )
-
-
-def _min_rows(t):
-    """(rows, 128) -> (1, 128) row-minimum via explicit halving + sublane
-    rolls (A/B alternative to jnp.min's reduce lowering; RT_MINTREE=1)."""
-    size = t.shape[0]
-    while size > 8:
-        half = size // 2
-        t = jnp.minimum(t[:half], t[half:size])
-        size = half
-    for shift in (4, 2, 1):
-        t = jnp.minimum(t, pltpu.roll(t, shift, axis=0))
-    return t[0:1]
-
-
-def _wmin(t):
-    import os
-
-    if os.environ.get("RT_MINTREE") == "1":
-        return _min_rows(t)
-    return jnp.min(t, axis=0, keepdims=True)
 
 
 def _fold8(t, bit):
@@ -579,10 +542,6 @@ def _closest_sphere_two_level(
             kwin = nohit_w
         elif n_blocks == 1:
             kwin = blk_step(0, nohit_w)
-        elif os.environ.get("RT_UNROLL") == "1":  # A/B: fori vs static slices
-            kwin = nohit_w
-            for b in range(n_blocks):
-                kwin = blk_step(b, kwin)
         else:
             kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
         if _ablate == "stage1":
