@@ -439,6 +439,98 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     return cxb, cyb, czb, rb, albr, albg, albb, param
 
 
+def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols):
+    """One-hot MXU gather: bit-exact winner-row fetch on the matrix unit.
+
+    ``mxu_ref`` is the byte-plane table from ``_plane_table``: f32
+    (4*n_cols, n_pad) whose row 4c+k holds byte k (value 0..255) of
+    ``shade[:, c]``'s f32 bit pattern. Bytes <= 255 are EXACTLY
+    representable in bf16, and the one-hot matrix is exact 0/1, so a
+    single-pass DEFAULT-precision matmul (bf16 multipliers, f32
+    accumulation; only one nonzero product per output) reproduces every
+    byte exactly -- no multi-pass precision tax and, unlike raw-bits-as-
+    bf16 splits, no operand can encode NaN/Inf. The f32 bit pattern is
+    then rebuilt with integer ops. This moves the per-lane gather from
+    the (saturated) VPU onto the otherwise-idle MXU; the VPU cost left is
+    the one-hot build (compare+select over (n_pad, 128)).
+
+    Returns one (t_sub, 128) f32 array per column, bit patterns preserved
+    (same contract as ``_gather_cols``).
+    """
+    table = mxu_ref[:, :]  # (4*n_cols, n_pad)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    prods = []
+    for g in range(t_sub):
+        sel = sel_rows[g : g + 1]  # (1, 128)
+        onehot = jnp.where(iota == sel, 1.0, 0.0)  # (n_pad, 128) f32
+        prods.append(
+            jax.lax.dot_general(
+                table,
+                onehot,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+        )  # (4*n_cols, 128)
+    cols = []
+    c256 = jnp.float32(256.0)
+    for c in range(n_cols):
+        rows = []
+        for g in range(t_sub):
+            pr = prods[g]
+            p0 = pr[4 * c : 4 * c + 1]
+            p1 = pr[4 * c + 1 : 4 * c + 2]
+            p2 = pr[4 * c + 2 : 4 * c + 3]
+            p3 = pr[4 * c + 3 : 4 * c + 4]
+            hi = (p3 * c256 + p2).astype(jnp.int32)
+            lo = (p1 * c256 + p0).astype(jnp.int32)
+            rows.append(pltpu.bitcast((hi << 16) | lo, jnp.float32))
+        cols.append(jnp.concatenate(rows, axis=0))
+    return cols
+
+
+def _mxu_enabled() -> bool:
+    """Static (trace-time) switch for the MXU one-hot gathers
+    (RT_GATHER=mxu).
+
+    DEFAULT OFF: measured ~+8% on the cover scene (96.5 vs 88 Mrays/s) and
+    bit-exact BOTH under interpret mode AND in a standalone compiled kernel
+    (scripts/probe_mxu_gather.py: 0/6144 mismatches on hardware), but
+    inside the real megakernel's bounce loop the gathered ALBEDO words
+    corrupt on hardware (hit selection, geometry and the material param
+    stay exact -- segment counts match bit-for-bit while radiance drops
+    6-9%; scripts/probe_mxu_render.py). Same symptom as round 1's
+    "diverged on hardware only" one-hot attempt, which this rules out
+    being a NaN-operand issue (byte planes are clean small ints): suspected
+    Mosaic MXU-in-loop miscompile on this toolchain."""
+    import os
+
+    return os.environ.get("RT_GATHER", "radix") == "mxu"
+
+
+def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
+    """Static switch: number of shade columns fetched via the MXU one-hot
+    gather (0 = keep the VPU radix gather). Applies to the single-level
+    (<= _SWEEP_ROWS) closest-hit path."""
+    if not _mxu_enabled() or _two_level_enabled(n_pad):
+        return 0
+    return 10 if textured else 6
+
+
+def _plane_table(shade: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """XLA-side prep for ``_gather_mxu``: f32 (4*n_cols, n_pad) byte
+    planes of ``shade[:, :n_cols]``'s bit patterns (row 4c+k = byte k of
+    column c, as float values 0..255)."""
+    bits = jax.lax.bitcast_convert_type(shade[:, :n_cols], jnp.int32)
+    planes = jnp.stack(
+        [(bits >> (8 * k)) & 0xFF for k in range(4)], axis=-1
+    )  # (n_pad, n_cols, 4)
+    n_pad = shade.shape[0]
+    return (
+        planes.reshape(n_pad, 4 * n_cols).T.astype(jnp.float32)
+    )
+
+
 def _closest_sphere_two_level(
     geh_ref, gec_ref, shade_ref, rows, *, n_pad, t_sub, textured
 ):
@@ -829,7 +921,7 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
     """
     from .. import texture as rtexture
 
-    tex_ref, kh, kw, tex_rows = tex
+    tex_ref, kh, kw, tex_rows, tex_mxu_ref = tex
     px, py, pz = p
     onx, ony, onz = outward_n
     albr, albg, albb = base_rgb
@@ -874,9 +966,18 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
         + rowf.astype(jnp.int32) * jnp.int32(kw)
         + col.astype(jnp.int32)
     )
-    ta, tb = _gather_cols(
-        tex_ref, (0, 1), trow, n_rows=tex_rows, t_sub=t_sub
-    )
+    if tex_mxu_ref is not None:
+        # Texel fetch on the MXU (bit-exact one-hot byte planes) -- the
+        # texel table is usually the LARGEST gather domain in a textured
+        # scene (thousands of rows), so this is where the VPU radix fold
+        # hurt most.
+        ta, tb = _gather_mxu(
+            tex_mxu_ref, trow, n_pad=tex_rows, t_sub=t_sub, n_cols=2
+        )
+    else:
+        ta, tb = _gather_cols(
+            tex_ref, (0, 1), trow, n_rows=tex_rows, t_sub=t_sub
+        )
     tai = pltpu.bitcast(ta, jnp.int32)
     tbi = pltpu.bitcast(tb, jnp.int32)
     texr = ((tai >> 16) & 0xFFFF).astype(jnp.float32) * inv16
@@ -889,7 +990,9 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
     return albr, albg, albb
 
 
-def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
+def _bounce_core(
+    refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None, mxu=None
+):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
     Args:
@@ -930,15 +1033,26 @@ def _bounce_core(refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None):
         nohit_key = _f32_bits(_BIGF) & ~pack_mask
         hitm = kmin < nohit_key
         imin = kmin & pack_mask
-        cxb, cyb, czb, rb, albr, albg, albb, param = _gather(
-            shade_ref, imin, n_pad=n_pad, t_sub=t_sub
-        )
-        if tex is not None:
-            texcols = tuple(
-                _gather_cols(
-                    shade_ref, (6, 7, 8, 9), imin, n_rows=n_pad, t_sub=t_sub
-                )
+        if mxu is not None:
+            mxu_ref, n_cols = mxu
+            cols = _gather_mxu(
+                mxu_ref, imin, n_pad=n_pad, t_sub=t_sub, n_cols=n_cols
             )
+            cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
+            albr, albg, albb, param = _mat_decode(cols[4], cols[5])
+            if tex is not None:
+                texcols = tuple(cols[6:10])
+        else:
+            cxb, cyb, czb, rb, albr, albg, albb, param = _gather(
+                shade_ref, imin, n_pad=n_pad, t_sub=t_sub
+            )
+            if tex is not None:
+                texcols = tuple(
+                    _gather_cols(
+                        shade_ref, (6, 7, 8, 9), imin, n_rows=n_pad,
+                        t_sub=t_sub,
+                    )
+                )
 
     # Exact winner root, recomputed per ray (the swept key lost
     # _pack_bits mantissa bits to the id packing).
@@ -1169,15 +1283,22 @@ def _regen_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [tex_ref][tri_ref] rad_ref, stats_ref
+    *rest,         # [mxu_ref][tex_ref][tri_ref] rad_ref, stats_ref
     n_pad: int,
     tile_shape: tuple[int, int],
     pixel_order: str,
     tex_plane: tuple[int, int, int] | None = None,
     tri_pad: int | None = None,
+    mxu_cols: int = 0,
+    tex_mxu: bool = False,
 ):
     rest = list(rest)
-    tex = (rest.pop(0), *tex_plane) if tex_plane is not None else None
+    mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
+    tex = None
+    if tex_plane is not None:
+        tref = rest.pop(0)
+        tmxu = rest.pop(0) if tex_mxu else None
+        tex = (tref, *tex_plane, tmxu)
     tris = (rest.pop(0), tri_pad) if tri_pad is not None else None
     rad_ref, stats_ref = rest
     spp = meta_ref[5]
@@ -1237,7 +1358,7 @@ def _regen_kernel(
         u3 = _uniform01_keyed(slot_h, sample_v, depth, 2)
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris,
+            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris, mxu=mxu,
         )
         hitm = out["hitm"]
 
@@ -1373,12 +1494,21 @@ def _render_pixels_fused(
 
     tex_inputs = ()
     tex_specs = []
+    mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
+    if mxu_cols:
+        tex_inputs = (_plane_table(shade, mxu_cols),)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     tex_plane = None
+    tex_mxu = False
     if scene.has_textures:
         tex_table, kh, kw, _ = pack_textures(scene)
         tex_plane = (kh, kw, tex_table.shape[0])
-        tex_inputs = (tex_table,)
-        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tex_inputs = (*tex_inputs, tex_table)
+        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tex_mxu = _mxu_enabled()
+        if tex_mxu:
+            tex_inputs = (*tex_inputs, _plane_table(tex_table, 2))
+            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
     if scene.has_triangles:
         tri_table, _ = pack_triangles(scene)
@@ -1393,6 +1523,8 @@ def _render_pixels_fused(
         pixel_order=pixel_order,
         tex_plane=tex_plane,
         tri_pad=tri_pad,
+        mxu_cols=mxu_cols,
+        tex_mxu=tex_mxu,
     )
 
     rad, stats = pl.pallas_call(
@@ -1487,15 +1619,22 @@ def _trace_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [tex_ref][tri_ref] rays_ref, rad_ref, stats_ref
+    *rest,         # [mxu_ref][tex_ref][tri_ref] rays_ref, rad_ref, stats_ref
     n_pad: int,
     max_depth: int,
     tile_shape: tuple[int, int],
     tex_plane: tuple[int, int, int] | None = None,
     tri_pad: int | None = None,
+    mxu_cols: int = 0,
+    tex_mxu: bool = False,
 ):
     rest = list(rest)
-    tex = (rest.pop(0), *tex_plane) if tex_plane is not None else None
+    mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
+    tex = None
+    if tex_plane is not None:
+        tref = rest.pop(0)
+        tmxu = rest.pop(0) if tex_mxu else None
+        tex = (tref, *tex_plane, tmxu)
     tris = (rest.pop(0), tri_pad) if tri_pad is not None else None
     rays_ref, rad_ref, stats_ref = rest
     seed = meta_ref[1]
@@ -1537,7 +1676,7 @@ def _trace_kernel(
 
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris,
+            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris, mxu=mxu,
         )
         hitm = out["hitm"]
         hit_f = jnp.where(hitm, 1.0, 0.0)
@@ -1623,12 +1762,21 @@ def trace_rays_fused(
 
     tex_inputs = ()
     tex_specs = []
+    mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
+    if mxu_cols:
+        tex_inputs = (_plane_table(shade, mxu_cols),)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     tex_plane = None
+    tex_mxu = False
     if scene.has_textures:
         tex_table, kh, kw, _ = pack_textures(scene)
         tex_plane = (kh, kw, tex_table.shape[0])
-        tex_inputs = (tex_table,)
-        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tex_inputs = (*tex_inputs, tex_table)
+        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tex_mxu = _mxu_enabled()
+        if tex_mxu:
+            tex_inputs = (*tex_inputs, _plane_table(tex_table, 2))
+            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
     if scene.has_triangles:
         tri_table, _ = pack_triangles(scene)
@@ -1643,6 +1791,8 @@ def trace_rays_fused(
         tile_shape=(t_sub, 128),
         tex_plane=tex_plane,
         tri_pad=tri_pad,
+        mxu_cols=mxu_cols,
+        tex_mxu=tex_mxu,
     )
 
     rad, stats = pl.pallas_call(
