@@ -472,6 +472,9 @@ def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols):
                 preferred_element_type=jnp.float32,
             )
         )  # (4*n_cols, 128)
+        # (A jax.lax.optimization_barrier materialization workaround was
+        # tried for the in-loop corruption: the primitive has no Mosaic
+        # lowering on this toolchain.)
     cols = []
     c256 = jnp.float32(256.0)
     for c in range(n_cols):
