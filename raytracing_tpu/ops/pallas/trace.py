@@ -439,7 +439,7 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     return cxb, cyb, czb, rb, albr, albg, albb, param
 
 
-def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols):
+def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols, scratch=None):
     """One-hot MXU gather: bit-exact winner-row fetch on the matrix unit.
 
     ``mxu_ref`` is the byte-plane table from ``_plane_table``: f32
@@ -463,18 +463,21 @@ def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols):
     for g in range(t_sub):
         sel = sel_rows[g : g + 1]  # (1, 128)
         onehot = jnp.where(iota == sel, 1.0, 0.0)  # (n_pad, 128) f32
-        prods.append(
-            jax.lax.dot_general(
-                table,
-                onehot,
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            )
+        pr = jax.lax.dot_general(
+            table,
+            onehot,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
         )  # (4*n_cols, 128)
-        # (A jax.lax.optimization_barrier materialization workaround was
-        # tried for the in-loop corruption: the primitive has no Mosaic
-        # lowering on this toolchain.)
+        if scratch is not None:
+            # Materialization workaround probe for the in-loop albedo
+            # corruption: round-trip the MXU result through a VMEM ref
+            # (a store Mosaic cannot elide) before the byte decode.
+            # (jax.lax.optimization_barrier has no Mosaic lowering.)
+            scratch[...] = pr
+            pr = scratch[...]
+        prods.append(pr)
     cols = []
     c256 = jnp.float32(256.0)
     for c in range(n_cols):
@@ -509,6 +512,15 @@ def _mxu_enabled() -> bool:
     import os
 
     return os.environ.get("RT_GATHER", "radix") == "mxu"
+
+
+def _mxu_scratch() -> bool:
+    """RT_MXU_SCRATCH=1: round-trip MXU gather results through a VMEM
+    scratch ref (materialization-workaround probe for the in-loop
+    corruption; see _mxu_enabled)."""
+    import os
+
+    return os.environ.get("RT_MXU_SCRATCH") == "1"
 
 
 def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
@@ -1037,9 +1049,10 @@ def _bounce_core(
         hitm = kmin < nohit_key
         imin = kmin & pack_mask
         if mxu is not None:
-            mxu_ref, n_cols = mxu
+            mxu_ref, n_cols, mxu_scr = mxu
             cols = _gather_mxu(
-                mxu_ref, imin, n_pad=n_pad, t_sub=t_sub, n_cols=n_cols
+                mxu_ref, imin, n_pad=n_pad, t_sub=t_sub, n_cols=n_cols,
+                scratch=mxu_scr,
             )
             cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
             albr, albg, albb, param = _mat_decode(cols[4], cols[5])
@@ -1296,7 +1309,8 @@ def _regen_kernel(
     tex_mxu: bool = False,
 ):
     rest = list(rest)
-    mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
+    scr = rest.pop() if (mxu_cols and _mxu_scratch()) else None
+    mxu = (rest.pop(0), mxu_cols, scr) if mxu_cols else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1529,6 +1543,11 @@ def _render_pixels_fused(
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
     )
+    scratch_shapes = (
+        [pltpu.VMEM((4 * mxu_cols, 128), jnp.float32)]
+        if (mxu_cols and _mxu_scratch())
+        else []
+    )
 
     rad, stats = pl.pallas_call(
         kernel,
@@ -1553,6 +1572,7 @@ def _render_pixels_fused(
             jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
+        scratch_shapes=scratch_shapes,
         interpret=_interp(interpret),
     )(meta, cam_vec, geom_h, geom_c, shade, *tex_inputs)
 
@@ -1632,7 +1652,8 @@ def _trace_kernel(
     tex_mxu: bool = False,
 ):
     rest = list(rest)
-    mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
+    scr = rest.pop() if (mxu_cols and _mxu_scratch()) else None
+    mxu = (rest.pop(0), mxu_cols, scr) if mxu_cols else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1797,6 +1818,11 @@ def trace_rays_fused(
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
     )
+    scratch_shapes = (
+        [pltpu.VMEM((4 * mxu_cols, 128), jnp.float32)]
+        if (mxu_cols and _mxu_scratch())
+        else []
+    )
 
     rad, stats = pl.pallas_call(
         kernel,
@@ -1825,6 +1851,7 @@ def trace_rays_fused(
             jax.ShapeDtypeStruct((3, b // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
+        scratch_shapes=scratch_shapes,
         interpret=_interp(interpret),
     )(meta, geom_h, geom_c, shade, *tex_inputs, rays)
 
