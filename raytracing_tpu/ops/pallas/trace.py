@@ -412,11 +412,18 @@ def _gather_cols(table_ref, col_ids, sel_rows, *, n_rows, t_sub):
     return [jnp.concatenate(o, axis=0) for o in outs]
 
 
+def _bits_i32(w):
+    """Bit pattern of ``w`` as int32 (no-op for int32 input -- the MXU
+    gather returns packed words as ints to dodge subnormal FTZ)."""
+    return w if w.dtype == jnp.int32 else pltpu.bitcast(w, jnp.int32)
+
+
 def _mat_decode(w1, w2):
     """Decode the 16-bit packed material words (pack_scene encoding):
-    w1 = alb_r16 | alb_g16, w2 = alb_b16 | param16."""
-    w1i = pltpu.bitcast(w1, jnp.int32)
-    w2i = pltpu.bitcast(w2, jnp.int32)
+    w1 = alb_r16 | alb_g16, w2 = alb_b16 | param16. Accepts the words as
+    f32 bit patterns (radix gather) or int32 (MXU gather)."""
+    w1i = _bits_i32(w1)
+    w2i = _bits_i32(w2)
     inv16 = jnp.float32(1.0 / 65535.0)
     albr = ((w1i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
     albg = (w1i & 0xFFFF).astype(jnp.float32) * inv16
@@ -484,13 +491,27 @@ def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols, scratch=None):
         rows = []
         for g in range(t_sub):
             pr = prods[g]
-            p0 = pr[4 * c : 4 * c + 1]
-            p1 = pr[4 * c + 1 : 4 * c + 2]
-            p2 = pr[4 * c + 2 : 4 * c + 3]
-            p3 = pr[4 * c + 3 : 4 * c + 4]
+            r0 = _mxu_plane_row(4 * c)
+            r1 = _mxu_plane_row(4 * c + 1)
+            r2 = _mxu_plane_row(4 * c + 2)
+            r3 = _mxu_plane_row(4 * c + 3)
+            p0 = pr[r0 : r0 + 1]
+            p1 = pr[r1 : r1 + 1]
+            p2 = pr[r2 : r2 + 1]
+            p3 = pr[r3 : r3 + 1]
             hi = (p3 * c256 + p2).astype(jnp.int32)
             lo = (p1 * c256 + p0).astype(jnp.int32)
-            rows.append(pltpu.bitcast((hi << 16) | lo, jnp.float32))
+            # Keep the reconstructed word in INT32: packed 16-bit material
+            # words can form SUBNORMAL f32 bit patterns (the gray ground
+            # sphere's w1 = 0x80008000 is one), and an f32-typed
+            # materialization of such a value can be flushed to +-0 by
+            # hardware FTZ on an arithmetic move -- zeroing the low 16
+            # bits. That flush was the "in-loop albedo corruption" (green
+            # channel exactly zero on ground hits) and very likely round
+            # 1's unexplained one-hot divergence too. Callers bitcast to
+            # f32 only for genuinely-float columns (geometry), whose
+            # values are normal-range.
+            rows.append((hi << 16) | lo)
         cols.append(jnp.concatenate(rows, axis=0))
     return cols
 
@@ -533,17 +554,46 @@ def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
 
 
 def _plane_table(shade: jnp.ndarray, n_cols: int) -> jnp.ndarray:
-    """XLA-side prep for ``_gather_mxu``: f32 (4*n_cols, n_pad) byte
+    """XLA-side prep for ``_gather_mxu``: f32 (4*n_cols + 8, n_pad) byte
     planes of ``shade[:, :n_cols]``'s bit patterns (row 4c+k = byte k of
-    column c, as float values 0..255)."""
+    column c, as float values 0..255).
+
+    Inside the megakernel's bounce loop (only there -- standalone and
+    chained-dependency kernels are bit-exact), the compiled matmul
+    deterministically zeroes product rows 16-17 for some lanes: observed
+    as exactly albedo-green's two bytes of a 24-row product, with every
+    other row bit-exact, invariant to trailing-tile padding and to a VMEM
+    scratch round-trip. Workaround: rows 16-17 of the table are
+    SACRIFICIAL zeros; real data resumes at row 18 (``_mxu_plane_row``
+    maps logical planes past the hole), so the victim rows carry nothing."""
     bits = jax.lax.bitcast_convert_type(shade[:, :n_cols], jnp.int32)
     planes = jnp.stack(
         [(bits >> (8 * k)) & 0xFF for k in range(4)], axis=-1
     )  # (n_pad, n_cols, 4)
     n_pad = shade.shape[0]
-    return (
-        planes.reshape(n_pad, 4 * n_cols).T.astype(jnp.float32)
-    )
+    t = planes.reshape(n_pad, 4 * n_cols).T.astype(jnp.float32)
+    if 4 * n_cols > 16:
+        z2 = jnp.zeros((2, n_pad), jnp.float32)
+        t = jnp.concatenate([t[:16], z2, t[16:]], axis=0)
+    rows = t.shape[0]
+    pad = (-rows) % 8
+    if pad:
+        t = jnp.concatenate(
+            [t, jnp.zeros((pad, n_pad), jnp.float32)], axis=0
+        )
+    return t
+
+
+def _mxu_table_rows(n_cols: int) -> int:
+    """Row count of ``_plane_table``'s output for ``n_cols`` columns."""
+    rows = 4 * n_cols + (2 if 4 * n_cols > 16 else 0)
+    return rows + (-rows) % 8
+
+
+def _mxu_plane_row(plane: int) -> int:
+    """Logical byte-plane index -> row in the ``_plane_table`` layout
+    (skipping the sacrificial rows 16-17)."""
+    return plane + 2 if plane >= 16 else plane
 
 
 def _closest_sphere_two_level(
@@ -943,9 +993,13 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
     inv16 = jnp.float32(1.0 / 65535.0)
 
     w3, w4, tinv, w5 = texcols
-    w3i = pltpu.bitcast(w3, jnp.int32)
-    w4i = pltpu.bitcast(w4, jnp.int32)
-    w5i = pltpu.bitcast(w5, jnp.int32)
+    w3i = _bits_i32(w3)
+    w4i = _bits_i32(w4)
+    w5i = _bits_i32(w5)
+    if tinv.dtype == jnp.int32:
+        # MXU-gather path returns raw bits; the checker inverse scale is a
+        # genuine (normal-range) float value.
+        tinv = pltpu.bitcast(tinv, jnp.float32)
     alb2r = ((w3i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
     alb2g = (w3i & 0xFFFF).astype(jnp.float32) * inv16
     alb2b = ((w4i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
@@ -993,8 +1047,8 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
         ta, tb = _gather_cols(
             tex_ref, (0, 1), trow, n_rows=tex_rows, t_sub=t_sub
         )
-    tai = pltpu.bitcast(ta, jnp.int32)
-    tbi = pltpu.bitcast(tb, jnp.int32)
+    tai = _bits_i32(ta)
+    tbi = _bits_i32(tb)
     texr = ((tai >> 16) & 0xFFFF).astype(jnp.float32) * inv16
     texg = (tai & 0xFFFF).astype(jnp.float32) * inv16
     texb = ((tbi >> 16) & 0xFFFF).astype(jnp.float32) * inv16
@@ -1054,7 +1108,12 @@ def _bounce_core(
                 mxu_ref, imin, n_pad=n_pad, t_sub=t_sub, n_cols=n_cols,
                 scratch=mxu_scr,
             )
-            cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
+            # Geometry columns hold genuine normal-range floats: bitcast
+            # back. Packed words (materials, textures) stay int32.
+            cxb = pltpu.bitcast(cols[0], jnp.float32)
+            cyb = pltpu.bitcast(cols[1], jnp.float32)
+            czb = pltpu.bitcast(cols[2], jnp.float32)
+            rb = pltpu.bitcast(cols[3], jnp.float32)
             albr, albg, albb, param = _mat_decode(cols[4], cols[5])
             if tex is not None:
                 texcols = tuple(cols[6:10])
@@ -1129,6 +1188,14 @@ def _bounce_core(
         albg = jnp.where(pick, ta[1], albg)
         albb = jnp.where(pick, ta[2], albb)
         param = jnp.where(pick, tparam, param)
+
+    import os as _os
+
+    _dbg = (
+        (albg * 65535.0 + 0.5).astype(jnp.int32)
+        if _os.environ.get("RT_MXU_DEBUG") == "1"
+        else None
+    )
 
     d_dot_n = dx * onx + dy * ony + dz * onz
     front = d_dot_n < 0.0
@@ -1229,6 +1296,7 @@ def _bounce_core(
         new_d=(ndx, ndy, ndz),
         atten=(atr, atg, atb),
         sky=(sky_r, sky_g, sky_b),
+        dbg=_dbg,
     )
 
 
@@ -1544,7 +1612,7 @@ def _render_pixels_fused(
         tex_mxu=tex_mxu,
     )
     scratch_shapes = (
-        [pltpu.VMEM((4 * mxu_cols, 128), jnp.float32)]
+        [pltpu.VMEM((_mxu_table_rows(mxu_cols), 128), jnp.float32)]
         if (mxu_cols and _mxu_scratch())
         else []
     )
@@ -1679,6 +1747,7 @@ def _trace_kernel(
                                 # vectors through while_loop)
         jnp.int32(0),           # bounce
         jnp.int32(0),           # segments
+        jnp.zeros(tile_shape, jnp.int32),   # dbg (RT_MXU_DEBUG)
     )
 
     def cond(state):
@@ -1691,7 +1760,7 @@ def _trace_kernel(
 
     def body(state):
         (ox, oy, oz, dx, dy, dz,
-         tpr, tpg, tpb, rr, rg, rb, alive_f, bounce, segments) = state
+         tpr, tpg, tpb, rr, rg, rb, alive_f, bounce, segments, dbg) = state
 
         s = _fmix32(tile_idx * jnp.int32(_GOLD) + bounce + seed_h)
         u1 = _uniform01_from(lane_h, s, 0)
@@ -1726,17 +1795,24 @@ def _trace_kernel(
         dz = jnp.where(survives, ndz, dz)
 
         segments = segments + jnp.sum(alive_f).astype(jnp.int32)
+        if out["dbg"] is not None:
+            dbg = jnp.where(bounce == 0, out["dbg"], dbg)
         return (
             ox, oy, oz, dx, dy, dz,
             tpr, tpg, tpb, rr, rg, rb,
-            surv_f, bounce + 1, segments,
+            surv_f, bounce + 1, segments, dbg,
         )
 
     state = jax.lax.while_loop(cond, body, state)
     rad_ref[0] = state[9]
     rad_ref[1] = state[10]
     rad_ref[2] = state[11]
-    stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
+    import os as _os
+
+    if _os.environ.get("RT_MXU_DEBUG") == "1":
+        stats_ref[:, :] = state[15]
+    else:
+        stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
 
 
 @functools.partial(
@@ -1819,7 +1895,7 @@ def trace_rays_fused(
         tex_mxu=tex_mxu,
     )
     scratch_shapes = (
-        [pltpu.VMEM((4 * mxu_cols, 128), jnp.float32)]
+        [pltpu.VMEM((_mxu_table_rows(mxu_cols), 128), jnp.float32)]
         if (mxu_cols and _mxu_scratch())
         else []
     )
@@ -1856,6 +1932,10 @@ def trace_rays_fused(
     )(meta, geom_h, geom_c, shade, *tex_inputs, rays)
 
     radiance = rad.reshape(3, b).T
+    import os as _os
+
+    if _os.environ.get("RT_MXU_DEBUG") == "1":
+        return radiance, stats  # raw per-lane debug words
     segments = jnp.sum(
         stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
     )
