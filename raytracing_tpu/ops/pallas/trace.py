@@ -446,7 +446,7 @@ def _gather(shade_ref, imin, *, n_pad, t_sub):
     return cxb, cyb, czb, rb, albr, albg, albb, param
 
 
-def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols, scratch=None):
+def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols):
     """One-hot MXU gather: bit-exact winner-row fetch on the matrix unit.
 
     ``mxu_ref`` is the byte-plane table from ``_plane_table``: f32
@@ -477,13 +477,6 @@ def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols, scratch=None):
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )  # (4*n_cols, 128)
-        if scratch is not None:
-            # Materialization workaround probe for the in-loop albedo
-            # corruption: round-trip the MXU result through a VMEM ref
-            # (a store Mosaic cannot elide) before the byte decode.
-            # (jax.lax.optimization_barrier has no Mosaic lowering.)
-            scratch[...] = pr
-            pr = scratch[...]
         prods.append(pr)
     cols = []
     c256 = jnp.float32(256.0)
@@ -491,14 +484,10 @@ def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols, scratch=None):
         rows = []
         for g in range(t_sub):
             pr = prods[g]
-            r0 = _mxu_plane_row(4 * c)
-            r1 = _mxu_plane_row(4 * c + 1)
-            r2 = _mxu_plane_row(4 * c + 2)
-            r3 = _mxu_plane_row(4 * c + 3)
-            p0 = pr[r0 : r0 + 1]
-            p1 = pr[r1 : r1 + 1]
-            p2 = pr[r2 : r2 + 1]
-            p3 = pr[r3 : r3 + 1]
+            p0 = pr[4 * c : 4 * c + 1]
+            p1 = pr[4 * c + 1 : 4 * c + 2]
+            p2 = pr[4 * c + 2 : 4 * c + 3]
+            p3 = pr[4 * c + 3 : 4 * c + 4]
             hi = (p3 * c256 + p2).astype(jnp.int32)
             lo = (p1 * c256 + p0).astype(jnp.int32)
             # Keep the reconstructed word in INT32: packed 16-bit material
@@ -518,30 +507,23 @@ def _gather_mxu(mxu_ref, sel_rows, *, n_pad, t_sub, n_cols, scratch=None):
 
 def _mxu_enabled() -> bool:
     """Static (trace-time) switch for the MXU one-hot gathers
-    (RT_GATHER=mxu).
+    (default ON; RT_GATHER=radix opts out for A/B).
 
-    DEFAULT OFF: measured ~+8% on the cover scene (96.5 vs 88 Mrays/s) and
-    bit-exact BOTH under interpret mode AND in a standalone compiled kernel
-    (scripts/probe_mxu_gather.py: 0/6144 mismatches on hardware), but
-    inside the real megakernel's bounce loop the gathered ALBEDO words
-    corrupt on hardware (hit selection, geometry and the material param
-    stay exact -- segment counts match bit-for-bit while radiance drops
-    6-9%; scripts/probe_mxu_render.py). Same symptom as round 1's
-    "diverged on hardware only" one-hot attempt, which this rules out
-    being a NaN-operand issue (byte planes are clean small ints): suspected
-    Mosaic MXU-in-loop miscompile on this toolchain."""
+    Bit-exact on hardware (verified against the radix gather's image hash)
+    and measured ~+8% end-to-end on the cover scene plus 127.5 Mrays/s on
+    the north-star config. Historical note: one-hot MXU gathers "diverged
+    on hardware only" in both round 1 and the first round-2 attempt; the
+    root cause (found by forensic byte dumps, scripts/probe_mxu_*.py) was
+    NEVER the matmul -- XLA-on-TPU flushes subnormals and canonicalizes
+    NaNs in f32 intermediates, so packed 16-bit words whose bit patterns
+    happen to encode subnormal/NaN f32 values (gray albedo 0.5 -> w1 =
+    0x80008000, dielectric (1,1,1) -> 0xFFFFFFFF) were corrupted on their
+    way INTO the plane table. The fix: build byte planes from int32
+    words (pack_scene/pack_textures ``with_planes``), never routing
+    packed bits through f32-typed ops."""
     import os
 
-    return os.environ.get("RT_GATHER", "radix") == "mxu"
-
-
-def _mxu_scratch() -> bool:
-    """RT_MXU_SCRATCH=1: round-trip MXU gather results through a VMEM
-    scratch ref (materialization-workaround probe for the in-loop
-    corruption; see _mxu_enabled)."""
-    import os
-
-    return os.environ.get("RT_MXU_SCRATCH") == "1"
+    return os.environ.get("RT_GATHER", "mxu") != "radix"
 
 
 def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
@@ -554,29 +536,19 @@ def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
 
 
 def _plane_table(shade: jnp.ndarray, n_cols: int) -> jnp.ndarray:
-    """XLA-side prep for ``_gather_mxu``: f32 (4*n_cols + 8, n_pad) byte
-    planes of ``shade[:, :n_cols]``'s bit patterns (row 4c+k = byte k of
-    column c, as float values 0..255).
-
-    Inside the megakernel's bounce loop (only there -- standalone and
-    chained-dependency kernels are bit-exact), the compiled matmul
-    deterministically zeroes product rows 16-17 for some lanes: observed
-    as exactly albedo-green's two bytes of a 24-row product, with every
-    other row bit-exact, invariant to trailing-tile padding and to a VMEM
-    scratch round-trip. Workaround: rows 16-17 of the table are
-    SACRIFICIAL zeros; real data resumes at row 18 (``_mxu_plane_row``
-    maps logical planes past the hole), so the victim rows carry nothing."""
+    """Byte planes from the f32 shade table. PROBE-ONLY (scripts/
+    probe_mxu_*.py): production uses ``_plane_table_int`` because packed
+    material/texture words can encode subnormal/NaN f32 bit patterns
+    that XLA-on-TPU flushes/canonicalizes when the shade table is an f32
+    HLO intermediate (see ``_mxu_enabled`` docstring). Safe in the probes
+    because there ``shade`` is a concrete input buffer."""
     bits = jax.lax.bitcast_convert_type(shade[:, :n_cols], jnp.int32)
     planes = jnp.stack(
         [(bits >> (8 * k)) & 0xFF for k in range(4)], axis=-1
     )  # (n_pad, n_cols, 4)
     n_pad = shade.shape[0]
     t = planes.reshape(n_pad, 4 * n_cols).T.astype(jnp.float32)
-    if 4 * n_cols > 16:
-        z2 = jnp.zeros((2, n_pad), jnp.float32)
-        t = jnp.concatenate([t[:16], z2, t[16:]], axis=0)
-    rows = t.shape[0]
-    pad = (-rows) % 8
+    pad = (-t.shape[0]) % 8
     if pad:
         t = jnp.concatenate(
             [t, jnp.zeros((pad, n_pad), jnp.float32)], axis=0
@@ -584,16 +556,22 @@ def _plane_table(shade: jnp.ndarray, n_cols: int) -> jnp.ndarray:
     return t
 
 
-def _mxu_table_rows(n_cols: int) -> int:
-    """Row count of ``_plane_table``'s output for ``n_cols`` columns."""
-    rows = 4 * n_cols + (2 if 4 * n_cols > 16 else 0)
-    return rows + (-rows) % 8
-
-
-def _mxu_plane_row(plane: int) -> int:
-    """Logical byte-plane index -> row in the ``_plane_table`` layout
-    (skipping the sacrificial rows 16-17)."""
-    return plane + 2 if plane >= 16 else plane
+def _plane_table_int(int_cols, n_pad: int) -> jnp.ndarray:
+    """Byte-plane table from INT32 word columns (the subnormal/NaN-safe
+    construction -- see pack_scene's ``with_planes``): f32
+    (pad8(4*C), n_pad), row 4c+k = byte k of column c."""
+    n_cols = len(int_cols)
+    bits = jnp.stack(int_cols, axis=1)  # (n_pad, C) i32
+    planes = jnp.stack(
+        [(bits >> (8 * k)) & 0xFF for k in range(4)], axis=-1
+    )  # (n_pad, C, 4)
+    t = planes.reshape(n_pad, 4 * n_cols).T.astype(jnp.float32)
+    pad = (-t.shape[0]) % 8
+    if pad:
+        t = jnp.concatenate(
+            [t, jnp.zeros((pad, n_pad), jnp.float32)], axis=0
+        )
+    return t
 
 
 def _closest_sphere_two_level(
@@ -1103,10 +1081,9 @@ def _bounce_core(
         hitm = kmin < nohit_key
         imin = kmin & pack_mask
         if mxu is not None:
-            mxu_ref, n_cols, mxu_scr = mxu
+            mxu_ref, n_cols = mxu
             cols = _gather_mxu(
-                mxu_ref, imin, n_pad=n_pad, t_sub=t_sub, n_cols=n_cols,
-                scratch=mxu_scr,
+                mxu_ref, imin, n_pad=n_pad, t_sub=t_sub, n_cols=n_cols
             )
             # Geometry columns hold genuine normal-range floats: bitcast
             # back. Packed words (materials, textures) stay int32.
@@ -1188,14 +1165,6 @@ def _bounce_core(
         albg = jnp.where(pick, ta[1], albg)
         albb = jnp.where(pick, ta[2], albb)
         param = jnp.where(pick, tparam, param)
-
-    import os as _os
-
-    _dbg = (
-        (albg * 65535.0 + 0.5).astype(jnp.int32)
-        if _os.environ.get("RT_MXU_DEBUG") == "1"
-        else None
-    )
 
     d_dot_n = dx * onx + dy * ony + dz * onz
     front = d_dot_n < 0.0
@@ -1296,7 +1265,6 @@ def _bounce_core(
         new_d=(ndx, ndy, ndz),
         atten=(atr, atg, atb),
         sky=(sky_r, sky_g, sky_b),
-        dbg=_dbg,
     )
 
 
@@ -1377,8 +1345,7 @@ def _regen_kernel(
     tex_mxu: bool = False,
 ):
     rest = list(rest)
-    scr = rest.pop() if (mxu_cols and _mxu_scratch()) else None
-    mxu = (rest.pop(0), mxu_cols, scr) if mxu_cols else None
+    mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1581,7 +1548,8 @@ def _render_pixels_fused(
     tex_specs = []
     mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
     if mxu_cols:
-        tex_inputs = (_plane_table(shade, mxu_cols),)
+        # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
+        tex_inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     tex_plane = None
     tex_mxu = False
@@ -1592,7 +1560,9 @@ def _render_pixels_fused(
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
         tex_mxu = _mxu_enabled()
         if tex_mxu:
-            tex_inputs = (*tex_inputs, _plane_table(tex_table, 2))
+            tex_inputs = (
+                *tex_inputs, pack_textures(scene, with_planes=True)[4]
+            )
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
     if scene.has_triangles:
@@ -1611,11 +1581,7 @@ def _render_pixels_fused(
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
     )
-    scratch_shapes = (
-        [pltpu.VMEM((_mxu_table_rows(mxu_cols), 128), jnp.float32)]
-        if (mxu_cols and _mxu_scratch())
-        else []
-    )
+
 
     rad, stats = pl.pallas_call(
         kernel,
@@ -1640,7 +1606,6 @@ def _render_pixels_fused(
             jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
-        scratch_shapes=scratch_shapes,
         interpret=_interp(interpret),
     )(meta, cam_vec, geom_h, geom_c, shade, *tex_inputs)
 
@@ -1720,8 +1685,7 @@ def _trace_kernel(
     tex_mxu: bool = False,
 ):
     rest = list(rest)
-    scr = rest.pop() if (mxu_cols and _mxu_scratch()) else None
-    mxu = (rest.pop(0), mxu_cols, scr) if mxu_cols else None
+    mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1747,7 +1711,6 @@ def _trace_kernel(
                                 # vectors through while_loop)
         jnp.int32(0),           # bounce
         jnp.int32(0),           # segments
-        jnp.zeros(tile_shape, jnp.int32),   # dbg (RT_MXU_DEBUG)
     )
 
     def cond(state):
@@ -1760,7 +1723,7 @@ def _trace_kernel(
 
     def body(state):
         (ox, oy, oz, dx, dy, dz,
-         tpr, tpg, tpb, rr, rg, rb, alive_f, bounce, segments, dbg) = state
+         tpr, tpg, tpb, rr, rg, rb, alive_f, bounce, segments) = state
 
         s = _fmix32(tile_idx * jnp.int32(_GOLD) + bounce + seed_h)
         u1 = _uniform01_from(lane_h, s, 0)
@@ -1795,24 +1758,17 @@ def _trace_kernel(
         dz = jnp.where(survives, ndz, dz)
 
         segments = segments + jnp.sum(alive_f).astype(jnp.int32)
-        if out["dbg"] is not None:
-            dbg = jnp.where(bounce == 0, out["dbg"], dbg)
         return (
             ox, oy, oz, dx, dy, dz,
             tpr, tpg, tpb, rr, rg, rb,
-            surv_f, bounce + 1, segments, dbg,
+            surv_f, bounce + 1, segments,
         )
 
     state = jax.lax.while_loop(cond, body, state)
     rad_ref[0] = state[9]
     rad_ref[1] = state[10]
     rad_ref[2] = state[11]
-    import os as _os
-
-    if _os.environ.get("RT_MXU_DEBUG") == "1":
-        stats_ref[:, :] = state[15]
-    else:
-        stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
+    stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
 
 
 @functools.partial(
@@ -1864,7 +1820,8 @@ def trace_rays_fused(
     tex_specs = []
     mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
     if mxu_cols:
-        tex_inputs = (_plane_table(shade, mxu_cols),)
+        # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
+        tex_inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     tex_plane = None
     tex_mxu = False
@@ -1875,7 +1832,9 @@ def trace_rays_fused(
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
         tex_mxu = _mxu_enabled()
         if tex_mxu:
-            tex_inputs = (*tex_inputs, _plane_table(tex_table, 2))
+            tex_inputs = (
+                *tex_inputs, pack_textures(scene, with_planes=True)[4]
+            )
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
     if scene.has_triangles:
@@ -1894,11 +1853,7 @@ def trace_rays_fused(
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
     )
-    scratch_shapes = (
-        [pltpu.VMEM((_mxu_table_rows(mxu_cols), 128), jnp.float32)]
-        if (mxu_cols and _mxu_scratch())
-        else []
-    )
+
 
     rad, stats = pl.pallas_call(
         kernel,
@@ -1927,15 +1882,10 @@ def trace_rays_fused(
             jax.ShapeDtypeStruct((3, b // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         ],
-        scratch_shapes=scratch_shapes,
         interpret=_interp(interpret),
     )(meta, geom_h, geom_c, shade, *tex_inputs, rays)
 
     radiance = rad.reshape(3, b).T
-    import os as _os
-
-    if _os.environ.get("RT_MXU_DEBUG") == "1":
-        return radiance, stats  # raw per-lane debug words
     segments = jnp.sum(
         stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
     )
@@ -1981,7 +1931,9 @@ def _morton_order(centers: jnp.ndarray) -> jnp.ndarray:
 TEX_KERNEL_CAP = 64
 
 
-def pack_textures(scene: Scene, cap: int = TEX_KERNEL_CAP):
+def pack_textures(
+    scene: Scene, cap: int = TEX_KERNEL_CAP, with_planes: bool = False
+):
     """Texture stack -> (tex_table f32[rows, 8], kh, kw, kernel_wh i32[N,2]).
 
     Each texture plane is nearest-downsampled to at most (cap, cap); texel
@@ -2019,6 +1971,15 @@ def pack_textures(scene: Scene, cap: int = TEX_KERNEL_CAP):
     table = table.at[: t * kh * kw, 1].set(
         jax.lax.bitcast_convert_type(wb, jnp.float32)
     )
+    if with_planes:
+        # Texel words are packed 16-bit pairs -- the same subnormal/NaN
+        # f32 hazard as pack_scene's material words; build the MXU byte
+        # planes from the ints (see pack_scene with_planes).
+        zi = jnp.zeros((rows,), jnp.int32)
+        wa_full = zi.at[: t * kh * kw].set(wa)
+        wb_full = zi.at[: t * kh * kw].set(wb)
+        planes = _plane_table_int([wa_full, wb_full], rows)
+        return table, kh, kw, kwh, planes
     return table, kh, kw, kwh
 
 
@@ -2070,7 +2031,11 @@ def pack_triangles(scene: Scene, m_pad_multiple: int = _SPHERE_BLOCK):
     return table.astype(jnp.float32), m
 
 
-def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
+def pack_scene(
+    scene: Scene,
+    n_pad_multiple: int = _SPHERE_BLOCK,
+    with_planes: int = 0,
+):
     """Scene -> (geom_h f32[N_pad,8], geom_c f32[N_pad,8],
     shade f32[N_pad,8 or 16], n_actual).  All tables VMEM-resident in the
     kernels.
@@ -2200,9 +2165,29 @@ def pack_scene(scene: Scene, n_pad_multiple: int = _SPHERE_BLOCK):
              w1f, w2f, zcol, zcol],
             axis=1,
         )
-    return (
+    out = (
         geom_h.astype(jnp.float32),
         geom_c.astype(jnp.float32),
         shade.astype(jnp.float32),
         n,
     )
+    if with_planes:
+        # MXU byte planes, built from the packed words AS INTEGERS. The
+        # packed material/texture words are arbitrary bit patterns that can
+        # encode subnormal or NaN f32 values (gray albedo 0.5 -> w1 =
+        # 0x80008000 is a negative subnormal; dielectric (1,1,1) -> w1 =
+        # 0xFFFFFFFF is NaN); routing them through f32 intermediates on
+        # the TPU flushes/canonicalizes them (hardware-verified: exactly
+        # those two patterns corrupted, low mantissa zeroed / NaN payload
+        # replaced -- the round-1 and round-2 "MXU gather diverged on
+        # hardware only" mystery). Geometry columns are genuine
+        # normal-range floats, so their bitcasts are safe.
+        fbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+        int_cols = [
+            fbits(centers[:, 0]), fbits(centers[:, 1]),
+            fbits(centers[:, 2]), fbits(radii), w1, w2,
+        ]
+        if textured:
+            int_cols += [w3, w4, fbits(tinv), w5]
+        out = (*out, _plane_table_int(int_cols[:with_planes], n_pad))
+    return out
