@@ -535,6 +535,66 @@ def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
     return 10 if textured else 6
 
 
+def _two_level_mxu(n_pad: int) -> bool:
+    """Static switch: two-level stage-2 window fetch on the MXU (one-hot
+    over windows). RT_TWO_LEVEL_MXU=1 opts in (pending hardware
+    hash-verification; CPU-interpret is bit-exact vs the fori collapse)."""
+    import os
+
+    if not (_mxu_enabled() and _two_level_enabled(n_pad)):
+        return False
+    return os.environ.get("RT_TWO_LEVEL_MXU", "0") == "1"
+
+
+def _win_plane_table_int(int_cols, n_pad: int, win: int) -> jnp.ndarray:
+    """Window-major byte planes for the stage-2 MXU window fetch: f32
+    (4*C*win, n_pad//win) with entry [(c*4 + k)*win + r, w] = byte k of
+    column c at scene row w*win + r (int32 sources -- same subnormal/NaN
+    rule as _plane_table_int)."""
+    n_cols = len(int_cols)
+    n_win = n_pad // win
+    bits = jnp.stack(int_cols, axis=1)  # (n_pad, C)
+    planes = jnp.stack(
+        [(bits >> (8 * k)) & 0xFF for k in range(4)], axis=-1
+    )  # (n_pad, C, 4)
+    t = planes.reshape(n_win, win, n_cols, 4)
+    t = t.transpose(2, 3, 1, 0)  # (C, 4, win, n_win)
+    return t.reshape(n_cols * 4 * win, n_win).astype(jnp.float32)
+
+
+def _collapse_window_mxu(win_ref, wid, *, n_win, n_cols, win):
+    """Stage-2 window collapse on the MXU: one-hot over the ``n_win``
+    windows selects every byte plane of the winner window's ``win`` rows
+    in ONE matmul. Returns one (win, 128) int32 WORD tile per column
+    (bit patterns of the original f32 columns; callers bitcast
+    genuinely-float columns).
+
+    Replaces the select-fori `_collapse_window_blocked` (O(n_blocks)
+    VPU folds with materialized lane broadcasts) with (4*C*win, n_win)
+    @ (n_win, 128) MXU work."""
+    table = win_ref[:, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_win, 1), 0)
+    onehot = jnp.where(iota == wid, 1.0, 0.0)  # (n_win, 128)
+    prod = jax.lax.dot_general(
+        table,
+        onehot,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )  # (4*C*win, 128)
+    c256 = jnp.float32(256.0)
+    out = []
+    for c in range(n_cols):
+        p0 = prod[(4 * c + 0) * win : (4 * c + 1) * win]
+        p1 = prod[(4 * c + 1) * win : (4 * c + 2) * win]
+        p2 = prod[(4 * c + 2) * win : (4 * c + 3) * win]
+        p3 = prod[(4 * c + 3) * win : (4 * c + 4) * win]
+        hi = (p3 * c256 + p2).astype(jnp.int32)
+        lo = (p1 * c256 + p0).astype(jnp.int32)
+        out.append((hi << 16) | lo)
+    return out
+
+
 def _plane_table(shade: jnp.ndarray, n_cols: int) -> jnp.ndarray:
     """Byte planes from the f32 shade table. PROBE-ONLY (scripts/
     probe_mxu_*.py): production uses ``_plane_table_int`` because packed
@@ -575,7 +635,8 @@ def _plane_table_int(int_cols, n_pad: int) -> jnp.ndarray:
 
 
 def _closest_sphere_two_level(
-    geh_ref, gec_ref, shade_ref, rows, *, n_pad, t_sub, textured
+    geh_ref, gec_ref, shade_ref, rows, *, n_pad, t_sub, textured,
+    mxu_win=None,
 ):
     """Two-level closest hit over spheres for scenes past _SWEEP_ROWS rows.
 
@@ -686,13 +747,26 @@ def _closest_sphere_two_level(
             continue
 
         # Stage 2: collapse columns to the winner window, exact re-sweep.
-        start = (kwin & wmask) << win_shift  # absolute first row (1, 128)
-        bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
-        sblk = start >> (blk.bit_length() - 1)  # winner's collapse block
-        collapsed = _collapse_window_blocked(
-            col_list, bit, sblk, n_rows=n_pad
-        )
-        cxw, cyw, czw, _rw, cm2w, _w1w, _w2w = collapsed[:7]
+        if mxu_win is not None:
+            # One-hot MXU window fetch: int32 word tiles, bit patterns of
+            # the original columns (geometry bitcast back below; packed
+            # words stay int -- subnormal/NaN rule).
+            wid = kwin & wmask
+            collapsed = _collapse_window_mxu(
+                mxu_win, wid, n_win=n_win, n_cols=len(col_list), win=_WIN
+            )
+            cxw = pltpu.bitcast(collapsed[0], jnp.float32)
+            cyw = pltpu.bitcast(collapsed[1], jnp.float32)
+            czw = pltpu.bitcast(collapsed[2], jnp.float32)
+            cm2w = pltpu.bitcast(collapsed[4], jnp.float32)
+        else:
+            start = (kwin & wmask) << win_shift  # absolute first row
+            bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
+            sblk = start >> (blk.bit_length() - 1)  # winner's block
+            collapsed = _collapse_window_blocked(
+                col_list, bit, sblk, n_rows=n_pad
+            )
+            cxw, cyw, czw, _rw, cm2w, _w1w, _w2w = collapsed[:7]
         h = cxw * dx[sl] + cyw * dy[sl] + czw * dz[sl] - d_dot_o[sl]
         cq = (
             cm2w + (-2.0 * cxw) * ox[sl] + (-2.0 * cyw) * oy[sl]
@@ -713,7 +787,12 @@ def _closest_sphere_two_level(
 
     hitm = jnp.concatenate(hit_rows, axis=0) < nohit_r
     cols = [jnp.concatenate(rws, axis=0) for rws in col_rows]
-    cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
+    if cols[0].dtype == jnp.int32:
+        # MXU window-fetch path: geometry columns are raw bits.
+        geo = [pltpu.bitcast(c, jnp.float32) for c in cols[:4]]
+        cxb, cyb, czb, rb = geo
+    else:
+        cxb, cyb, czb, rb = cols[0], cols[1], cols[2], cols[3]
     albr, albg, albb, param = _mat_decode(cols[5], cols[6])
     texcols = tuple(cols[7:11]) if textured else None
     return hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols
@@ -1068,10 +1147,12 @@ def _bounce_core(
     if _two_level_enabled(n_pad):
         # Large scenes: two-level sweep (window prefilter + exact re-sweep
         # of collapsed winner windows) -- O(N) work once, not per column.
+        # With mxu, the ref carries the window-major plane table.
         (hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols) = (
             _closest_sphere_two_level(
                 geh_ref, gec_ref, shade_ref, rows,
                 n_pad=n_pad, t_sub=t_sub, textured=tex is not None,
+                mxu_win=mxu[0] if mxu is not None else None,
             )
         )
     else:
@@ -1551,6 +1632,11 @@ def _render_pixels_fused(
         # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
         tex_inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    elif _two_level_mxu(n_pad):
+        # Two-level stage-2 window fetch: window-major plane table.
+        mxu_cols = 11 if scene.has_textures else 7
+        tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     tex_plane = None
     tex_mxu = False
     if scene.has_textures:
@@ -1823,6 +1909,11 @@ def trace_rays_fused(
         # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
         tex_inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    elif _two_level_mxu(n_pad):
+        # Two-level stage-2 window fetch: window-major plane table.
+        mxu_cols = 11 if scene.has_textures else 7
+        tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     tex_plane = None
     tex_mxu = False
     if scene.has_textures:
@@ -2035,6 +2126,7 @@ def pack_scene(
     scene: Scene,
     n_pad_multiple: int = _SPHERE_BLOCK,
     with_planes: int = 0,
+    with_win_planes: int = 0,
 ):
     """Scene -> (geom_h f32[N_pad,8], geom_c f32[N_pad,8],
     shade f32[N_pad,8 or 16], n_actual).  All tables VMEM-resident in the
@@ -2190,4 +2282,19 @@ def pack_scene(
         if textured:
             int_cols += [w3, w4, fbits(tinv), w5]
         out = (*out, _plane_table_int(int_cols[:with_planes], n_pad))
+    if with_win_planes:
+        # Stage-2 window-fetch table (two-level path). Column order MUST
+        # match _closest_sphere_two_level's col_list:
+        # cx, cy, cz, r, cm2, w1, w2 [, w3, w4, tinv, w5].
+        fbits2 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+        wcols = [
+            fbits2(centers[:, 0]), fbits2(centers[:, 1]),
+            fbits2(centers[:, 2]), fbits2(radii), fbits2(cm2), w1, w2,
+        ]
+        if textured:
+            wcols += [w3, w4, fbits2(tinv), w5]
+        out = (
+            *out,
+            _win_plane_table_int(wcols[:with_win_planes], n_pad, _WIN),
+        )
     return out
