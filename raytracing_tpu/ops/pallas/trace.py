@@ -537,13 +537,13 @@ def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
 
 def _two_level_mxu(n_pad: int) -> bool:
     """Static switch: two-level stage-2 window fetch on the MXU (one-hot
-    over windows). RT_TWO_LEVEL_MXU=1 opts in (pending hardware
-    hash-verification; CPU-interpret is bit-exact vs the fori collapse)."""
+    over windows; default ON, RT_TWO_LEVEL_MXU=0 opts out). Bit-exact vs
+    the fori collapse on CPU interpret AND hardware (image-hash A/B)."""
     import os
 
     if not (_mxu_enabled() and _two_level_enabled(n_pad)):
         return False
-    return os.environ.get("RT_TWO_LEVEL_MXU", "0") == "1"
+    return os.environ.get("RT_TWO_LEVEL_MXU", "1") != "0"
 
 
 def _win_plane_table_int(int_cols, n_pad: int, win: int) -> jnp.ndarray:
