@@ -864,7 +864,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
     return jnp.concatenate(kmin_rows, axis=0)
 
 
-def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub):
+def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
     """Two-level Moller-Trumbore closest hit for meshes past _SWEEP_ROWS
     triangles -- the triangle analog of ``_closest_sphere_two_level``.
 
@@ -948,12 +948,23 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub):
         else:
             kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
 
-        start = (kwin & wmask) << win_shift
-        bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
-        sblk = start >> (blk.bit_length() - 1)  # winner's collapse block
-        collapsed = _collapse_window_blocked(
-            [(tri_ref, c) for c in range(11)], bit, sblk, n_rows=m_pad
-        )
+        if mxu_win is not None:
+            wid = kwin & wmask
+            words = _collapse_window_mxu(
+                mxu_win, wid, n_win=n_win, n_cols=11, win=_WIN
+            )
+            # Geometry (v0/e1/e2) are genuine floats; material words stay
+            # int32 (subnormal/NaN rule -- _tri_exact accepts both).
+            collapsed = [
+                pltpu.bitcast(w, jnp.float32) for w in words[:9]
+            ] + words[9:]
+        else:
+            start = (kwin & wmask) << win_shift
+            bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
+            sblk = start >> (blk.bit_length() - 1)  # winner's block
+            collapsed = _collapse_window_blocked(
+                [(tri_ref, c) for c in range(11)], bit, sblk, n_rows=m_pad
+            )
         key = tri_keys(lambda j: collapsed[j], sl)
         ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
         kmin = jnp.min(ki, axis=0, keepdims=True)
@@ -1014,9 +1025,11 @@ def _tri_exact(cols, hitk, rows):
     gy = e1z * e2x - e1x * e2z
     gz = e1x * e2y - e1y * e2x
     inv_g = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-    # Material words: same 16-bit packing as the sphere shade table.
-    w1i = pltpu.bitcast(w1, jnp.int32)
-    w2i = pltpu.bitcast(w2, jnp.int32)
+    # Material words: same 16-bit packing as the sphere shade table
+    # (arrive as f32 bit patterns from the radix path or int32 from the
+    # MXU window fetch).
+    w1i = _bits_i32(w1)
+    w2i = _bits_i32(w2)
     inv16 = jnp.float32(1.0 / 65535.0)
     albr = ((w1i >> 16) & 0xFFFF).astype(jnp.float32) * inv16
     albg = (w1i & 0xFFFF).astype(jnp.float32) * inv16
@@ -1223,10 +1236,10 @@ def _bounce_core(
         # Closest hit over BOTH primitive families: sweep the triangle
         # table, recompute the winner's exact t, take the per-lane min
         # against the sphere winner's exact t.
-        tri_ref, m_pad = tris
+        tri_ref, m_pad, tri_win = tris
         if _two_level_enabled(m_pad):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
-                tri_ref, rows, m_pad=m_pad, t_sub=t_sub
+                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_win
             )
         else:
             kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
@@ -1424,6 +1437,7 @@ def _regen_kernel(
     tri_pad: int | None = None,
     mxu_cols: int = 0,
     tex_mxu: bool = False,
+    tri_mxu: bool = False,
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
@@ -1432,7 +1446,11 @@ def _regen_kernel(
         tref = rest.pop(0)
         tmxu = rest.pop(0) if tex_mxu else None
         tex = (tref, *tex_plane, tmxu)
-    tris = (rest.pop(0), tri_pad) if tri_pad is not None else None
+    tris = None
+    if tri_pad is not None:
+        tref2 = rest.pop(0)
+        tw = rest.pop(0) if tri_mxu else None
+        tris = (tref2, tri_pad, tw)
     rad_ref, stats_ref = rest
     spp = meta_ref[5]
     max_depth = meta_ref[6]
@@ -1651,11 +1669,18 @@ def _render_pixels_fused(
             )
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
+    tri_mxu = False
     if scene.has_triangles:
         tri_table, _ = pack_triangles(scene)
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tri_mxu = _two_level_mxu(tri_pad)
+        if tri_mxu:
+            tex_inputs = (
+                *tex_inputs, pack_triangles(scene, with_win_planes=True)[2]
+            )
+            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(
         _regen_kernel,
@@ -1666,6 +1691,7 @@ def _render_pixels_fused(
         tri_pad=tri_pad,
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
+        tri_mxu=tri_mxu,
     )
 
 
@@ -1769,6 +1795,7 @@ def _trace_kernel(
     tri_pad: int | None = None,
     mxu_cols: int = 0,
     tex_mxu: bool = False,
+    tri_mxu: bool = False,
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
@@ -1777,7 +1804,11 @@ def _trace_kernel(
         tref = rest.pop(0)
         tmxu = rest.pop(0) if tex_mxu else None
         tex = (tref, *tex_plane, tmxu)
-    tris = (rest.pop(0), tri_pad) if tri_pad is not None else None
+    tris = None
+    if tri_pad is not None:
+        tref2 = rest.pop(0)
+        tw = rest.pop(0) if tri_mxu else None
+        tris = (tref2, tri_pad, tw)
     rays_ref, rad_ref, stats_ref = rest
     seed = meta_ref[1]
     tile_idx = meta_ref[2] + pl.program_id(0)
@@ -1928,11 +1959,18 @@ def trace_rays_fused(
             )
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
+    tri_mxu = False
     if scene.has_triangles:
         tri_table, _ = pack_triangles(scene)
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tri_mxu = _two_level_mxu(tri_pad)
+        if tri_mxu:
+            tex_inputs = (
+                *tex_inputs, pack_triangles(scene, with_win_planes=True)[2]
+            )
+            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(
         _trace_kernel,
@@ -1943,6 +1981,7 @@ def trace_rays_fused(
         tri_pad=tri_pad,
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
+        tri_mxu=tri_mxu,
     )
 
 
@@ -2074,7 +2113,11 @@ def pack_textures(
     return table, kh, kw, kwh
 
 
-def pack_triangles(scene: Scene, m_pad_multiple: int = _SPHERE_BLOCK):
+def pack_triangles(
+    scene: Scene,
+    m_pad_multiple: int = _SPHERE_BLOCK,
+    with_win_planes: bool = False,
+):
     """Triangles -> (tri_table f32[M_pad, 16], m_actual) for the kernel.
 
     Columns: v0 xyz (0-2), e1 xyz (3-5), e2 xyz (6-8), w1 = alb_r16|alb_g16
@@ -2105,12 +2148,10 @@ def pack_triangles(scene: Scene, m_pad_multiple: int = _SPHERE_BLOCK):
     )
     a16 = jnp.round(jnp.clip(albedo, 0.0, 1.0) * 65535.0).astype(jnp.int32)
     p16 = jnp.round((param + 2.0) * 4096.0).astype(jnp.int32)
-    w1 = jax.lax.bitcast_convert_type(
-        (a16[:, 0] << 16) | a16[:, 1], jnp.float32
-    )
-    w2 = jax.lax.bitcast_convert_type(
-        (a16[:, 2] << 16) | p16, jnp.float32
-    )
+    w1i = (a16[:, 0] << 16) | a16[:, 1]
+    w2i = (a16[:, 2] << 16) | p16
+    w1 = jax.lax.bitcast_convert_type(w1i, jnp.float32)
+    w2 = jax.lax.bitcast_convert_type(w2i, jnp.float32)
     z = jnp.zeros((m_pad,), jnp.float32)
     table = jnp.stack(
         [v0[:, 0], v0[:, 1], v0[:, 2],
@@ -2119,6 +2160,21 @@ def pack_triangles(scene: Scene, m_pad_multiple: int = _SPHERE_BLOCK):
          w1, w2, z, z, z, z, z],
         axis=1,
     )
+    if with_win_planes:
+        # Stage-2 MXU window-fetch table; column order must match
+        # _closest_tri_two_level (v0, e1, e2, w1, w2). Int sources for the
+        # packed words (subnormal/NaN rule, see pack_scene).
+        fbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+        wcols = [
+            fbits(v0[:, 0]), fbits(v0[:, 1]), fbits(v0[:, 2]),
+            fbits(e1[:, 0]), fbits(e1[:, 1]), fbits(e1[:, 2]),
+            fbits(e2[:, 0]), fbits(e2[:, 1]), fbits(e2[:, 2]),
+            w1i, w2i,
+        ]
+        return (
+            table.astype(jnp.float32), m,
+            _win_plane_table_int(wcols, m_pad, _WIN),
+        )
     return table.astype(jnp.float32), m
 
 
