@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
 import pytest
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tpu.core import rng as rrng
@@ -357,3 +358,59 @@ def test_regen_sample_chunks_compose_exactly():
     np.testing.assert_allclose(rad_a + rad_b, rad_all, atol=2e-5, rtol=1e-6)
     # And the two halves draw DIFFERENT samples (streams advance).
     assert not np.allclose(rad_a, rad_b)
+
+
+def test_mxu_gather_matches_radix_bitexact():
+    """The one-hot MXU byte-plane gather must reproduce the radix-select
+    tournament bit-for-bit -- including packed material words whose bit
+    patterns encode subnormal/NaN f32 values (gray 0.5 albedo ->
+    0x80008000, white dielectric -> 0xFFFFFFFF), the patterns that
+    XLA-on-TPU f32 intermediates corrupt (the round-1/2 hardware
+    divergence; planes must come from int32 sources)."""
+    import numpy as np
+    from raytracing_tpu.scene.types import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_lambertian_sphere((0.0, -100.0, 0.0), 99.0, (0.5, 0.5, 0.5))
+    b.add_dielectric_sphere((1.0, 1.0, 0.0), 1.0, 1.5)  # albedo (1,1,1)
+    for i in range(40):
+        b.add_metallic_sphere(
+            (float(i % 7), 0.2, float(i // 7)), 0.2,
+            ((i % 5) / 4.0, (i % 3) / 2.0, (i % 7) / 6.0), 0.1,
+        )
+    scene = b.build()
+    geh, gec, shade, n = ptrace.pack_scene(scene)
+    n_pad = geh.shape[0]
+    planes = ptrace.pack_scene(scene, with_planes=6)[4]
+    t_sub = 8
+
+    def kernel(shade_ref, mxu_ref, sel_ref, oa, ob):
+        s = sel_ref[...]
+        a = ptrace._gather_cols(
+            shade_ref, range(6), s, n_rows=n_pad, t_sub=t_sub
+        )
+        bcols = ptrace._gather_mxu(
+            mxu_ref, s, n_pad=n_pad, t_sub=t_sub, n_cols=6
+        )
+        for c in range(6):
+            oa[c] = a[c]
+            ob[c] = pltpu.bitcast(bcols[c], jnp.float32)
+
+    rng = np.random.default_rng(0)
+    sel = jnp.asarray(
+        rng.integers(0, n_pad, size=(t_sub, 128)), jnp.int32
+    )
+    # Ensure the hazardous rows are selected: rows 0..n-1 cyclically.
+    sel = (sel % jnp.int32(n)).astype(jnp.int32)
+    oa, ob = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((6, t_sub, 128), jnp.float32)
+        ] * 2,
+        interpret=ptrace._interp(True),
+    )(shade, planes, sel)
+    np.testing.assert_array_equal(
+        np.asarray(oa).view(np.int32), np.asarray(ob).view(np.int32)
+    )
