@@ -571,7 +571,13 @@ def _collapse_window_mxu(win_ref, wid, *, n_win, n_cols, win):
 
     Replaces the select-fori `_collapse_window_blocked` (O(n_blocks)
     VPU folds with materialized lane broadcasts) with (4*C*win, n_win)
-    @ (n_win, 128) MXU work."""
+    @ (n_win, 128) MXU work.
+
+    VMEM: the product is (4*C*win, 128) f32 = 1.75 MB at C=7 / 2.8 MB at
+    C=11 per ray group; Mosaic reuses the buffer across the t_sub group
+    loop (hardware-verified: the 11-column triangle path compiles and
+    runs at 2048 rows). If a future config trips a scoped-vmem limit,
+    shrink RT_WIN (the collapse output scales with win)."""
     table = win_ref[:, :]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_win, 1), 0)
     onehot = jnp.where(iota == wid, 1.0, 0.0)  # (n_win, 128)
