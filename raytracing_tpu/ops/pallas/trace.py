@@ -67,8 +67,11 @@ from ...scene.types import Scene
 DEFAULT_TILE_RAYS = 1024
 # Scene padding quantum (rows of the sphere tables).
 _SPHERE_BLOCK = 128
-# Sphere rows processed per sweep step (bounds VMEM intermediates).
-_SWEEP_ROWS = 512
+# Sphere rows processed per sweep step (bounds VMEM intermediates:
+# ~8-10 live (rows, 128) f32 tiles in the sweep). RT_SWEEP_ROWS overrides
+# for A/B (1024 doubles the live set to ~4-5 MB; per-block fori overhead
+# on large scenes is an open anomaly).
+_SWEEP_ROWS = int(__import__("os").environ.get("RT_SWEEP_ROWS", "512"))
 # Stage-2 window of the two-level closest hit (scenes padded past
 # _SWEEP_ROWS rows); power of two in [8, _SWEEP_ROWS]. Smaller windows
 # shrink the collapse accumulators (live vregs across the fori) and the
