@@ -708,20 +708,23 @@ def _closest_sphere_two_level(
 
     _ablate = os.environ.get("RT_ABLATE", "full")
 
-    hit_rows = []
-    col_rows = [[] for _ in col_list]
-    for g in range(t_sub):
-        sl = slice(g, g + 1)
-
-        def blk_step(b, kwin_g, sl=sl):
-            base = pl.multiple_of(b * blk, blk)
-            cx = geh_ref[pl.ds(base, blk), 0:1]
-            cy = geh_ref[pl.ds(base, blk), 1:2]
-            cz = geh_ref[pl.ds(base, blk), 2:3]
-            m2cx = gec_ref[pl.ds(base, blk), 0:1]
-            m2cy = gec_ref[pl.ds(base, blk), 1:2]
-            m2cz = gec_ref[pl.ds(base, blk), 2:3]
-            cm2 = gec_ref[pl.ds(base, blk), 3:4]
+    # Stage 1 for ALL ray groups in one block pass: the fori carries a
+    # t_sub-tuple of per-group window minima so each block's 7 column
+    # loads (dynamic-base pl.ds -> relayout to lane-replicated) are
+    # issued ONCE per block instead of once per (group, block).
+    def blk_step_all(b, kwins):
+        base = pl.multiple_of(b * blk, blk)
+        cx = geh_ref[pl.ds(base, blk), 0:1]
+        cy = geh_ref[pl.ds(base, blk), 1:2]
+        cz = geh_ref[pl.ds(base, blk), 2:3]
+        m2cx = gec_ref[pl.ds(base, blk), 0:1]
+        m2cy = gec_ref[pl.ds(base, blk), 1:2]
+        m2cz = gec_ref[pl.ds(base, blk), 2:3]
+        cm2 = gec_ref[pl.ds(base, blk), 3:4]
+        out = []
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            kwin_g = kwins[g]
             h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
             cq = (
                 cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl]
@@ -741,14 +744,23 @@ def _closest_sphere_two_level(
                     b * nwin_blk + j
                 )
                 kwin_g = jnp.minimum(kwin_g, ki)
-            return kwin_g
+            out.append(kwin_g)
+        return tuple(out)
 
-        if _ablate == "stage2":
-            kwin = nohit_w
-        elif n_blocks == 1:
-            kwin = blk_step(0, nohit_w)
-        else:
-            kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
+    if _ablate == "stage2":
+        kwins = tuple(nohit_w for _ in range(t_sub))
+    elif n_blocks == 1:
+        kwins = blk_step_all(0, tuple(nohit_w for _ in range(t_sub)))
+    else:
+        kwins = jax.lax.fori_loop(
+            0, n_blocks, blk_step_all, tuple(nohit_w for _ in range(t_sub))
+        )
+
+    hit_rows = []
+    col_rows = [[] for _ in col_list]
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+        kwin = kwins[g]
         if _ablate == "stage1":
             hit_rows.append(kwin)
             for jj in range(len(col_list)):
@@ -932,16 +944,16 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
         )
         return jnp.where(valid, t_apx, _BIGF)
 
-    hit_rows = []
-    col_rows = [[] for _ in range(11)]
-    for g in range(t_sub):
-        sl = slice(g, g + 1)
-
-        def blk_step(bi, kwin_g, sl=sl):
-            base = pl.multiple_of(bi * blk, blk)
-            key = tri_keys(
-                lambda j: tri_ref[pl.ds(base, blk), j : j + 1], sl
-            )
+    # Stage 1 for ALL ray groups per block pass (one set of column loads
+    # per block -- see _closest_sphere_two_level's blk_step_all).
+    def blk_step_all(bi, kwins):
+        base = pl.multiple_of(bi * blk, blk)
+        cols9 = [tri_ref[pl.ds(base, blk), j : j + 1] for j in range(9)]
+        out = []
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            kwin_g = kwins[g]
+            key = tri_keys(lambda j: cols9[j], sl)
             for j in range(nwin_blk):
                 wkey = jnp.min(
                     key[j * _WIN : (j + 1) * _WIN], axis=0, keepdims=True
@@ -950,12 +962,21 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
                     bi * nwin_blk + j
                 )
                 kwin_g = jnp.minimum(kwin_g, ki)
-            return kwin_g
+            out.append(kwin_g)
+        return tuple(out)
 
-        if n_blocks == 1:
-            kwin = blk_step(0, nohit_w)
-        else:
-            kwin = jax.lax.fori_loop(0, n_blocks, blk_step, nohit_w)
+    if n_blocks == 1:
+        kwins = blk_step_all(0, tuple(nohit_w for _ in range(t_sub)))
+    else:
+        kwins = jax.lax.fori_loop(
+            0, n_blocks, blk_step_all, tuple(nohit_w for _ in range(t_sub))
+        )
+
+    hit_rows = []
+    col_rows = [[] for _ in range(11)]
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+        kwin = kwins[g]
 
         if mxu_win is not None:
             wid = kwin & wmask
