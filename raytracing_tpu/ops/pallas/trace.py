@@ -905,7 +905,11 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
     wbits = _pack_bits(n_win)
     wmask = (1 << wbits) - 1
     win_shift = _WIN.bit_length() - 1
-    blk = min(m_pad, _SWEEP_ROWS)
+    # Smaller stage-1 blocks than the sphere path: Moller-Trumbore's
+    # per-group live set is ~2x the quadratic's, and the block-major loop
+    # (all 8 ray groups per block) exceeded the 16 MB scoped-vmem limit at
+    # 512-row blocks (18.6 MB measured on the 2048-tri mesh kernel).
+    blk = min(m_pad, max(_WIN, _SWEEP_ROWS // 2))
     nwin_blk = blk // _WIN
     n_blocks = m_pad // blk
     nohit_w = jnp.full((1, 128), _f32_bits(_BIGF) & ~wmask, jnp.int32)
