@@ -220,30 +220,34 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
     n_blocks = n_pad // blk
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
-    kmin_rows = []
-    for g in range(t_sub):
-        sl = slice(g, g + 1)
-
-        def blk_step(b, kmin_g, sl=sl):
-            base = pl.multiple_of(b * blk, blk)
-            cx = geh_ref[pl.ds(base, blk), 0:1]
-            cy = geh_ref[pl.ds(base, blk), 1:2]
-            cz = geh_ref[pl.ds(base, blk), 2:3]
-            m2cx = gec_ref[pl.ds(base, blk), 0:1]
-            m2cy = gec_ref[pl.ds(base, blk), 1:2]
-            m2cz = gec_ref[pl.ds(base, blk), 2:3]
-            cm2 = gec_ref[pl.ds(base, blk), 3:4]
+    # Block-major: each block's 7 column loads are issued ONCE for all
+    # t_sub ray groups (Mosaic does not CSE per-group re-loads; see the
+    # two-level stage-1 note -- same restructure, measured +68% on
+    # stress scenes there).
+    def blk_step_all(b, kmins):
+        base = pl.multiple_of(b * blk, blk)
+        cx = geh_ref[pl.ds(base, blk), 0:1]
+        cy = geh_ref[pl.ds(base, blk), 1:2]
+        cz = geh_ref[pl.ds(base, blk), 2:3]
+        m2cx = gec_ref[pl.ds(base, blk), 0:1]
+        m2cy = gec_ref[pl.ds(base, blk), 1:2]
+        m2cz = gec_ref[pl.ds(base, blk), 2:3]
+        cm2 = gec_ref[pl.ds(base, blk), 3:4]
+        out = []
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
             # h = d.(c-o); cq = |o-c|^2 - r^2   (object.defs.cc:43-46)
             h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
             cq = (
                 cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl]
                 + o_dot_o[sl]
             )
-            # Unscaled roots n = a*t = h -+ sqrt(h^2 - a*cq): same ordering
-            # and sign as t (a > 0 constant per ray), so the interval test
-            # t > T_MIN becomes n > T_MIN * a with no per-pair division. No
-            # max(delta, 0): sqrt of a negative gives NaN and every compare
-            # with NaN is false, so misses fall through to the BIG key free.
+            # Unscaled roots n = a*t = h -+ sqrt(h^2 - a*cq): same
+            # ordering and sign as t (a > 0 constant per ray), so the
+            # interval test t > T_MIN becomes n > T_MIN * a with no
+            # per-pair division. No max(delta, 0): sqrt of a negative
+            # gives NaN and every compare with NaN is false, so misses
+            # fall through to the BIG key free.
             delta = h * h - a[sl] * cq
             sq = jnp.sqrt(delta)
             n1 = h - sq
@@ -254,20 +258,23 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
                 (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
                 | (blk_ids + base)
             )
-            return jnp.minimum(kmin_g, jnp.min(ki, axis=0, keepdims=True))
+            out.append(
+                jnp.minimum(kmins[g], jnp.min(ki, axis=0, keepdims=True))
+            )
+        return tuple(out)
 
-        if n_blocks == 1:
-            kmin_g = blk_step(0, nohit)
-        else:
-            # fori_loop (not unrolled python) so Mosaic's stack allocator
-            # reuses one block's intermediates instead of summing them all.
-            # (A per-window bounding-sphere cull was tried here and measured
-            # NEUTRAL-to-negative on stress scenes: group-coherent bounds
-            # over 512 Morton rows are too coarse to reject -- one window
-            # holding the radius-1000 ground sphere covers every ray.)
-            kmin_g = jax.lax.fori_loop(0, n_blocks, blk_step, nohit)
-        kmin_rows.append(kmin_g)
-    return jnp.concatenate(kmin_rows, axis=0)
+    init = tuple(nohit for _ in range(t_sub))
+    if n_blocks == 1:
+        kmins = blk_step_all(0, init)
+    else:
+        # fori_loop (not unrolled python) so Mosaic's stack allocator
+        # reuses one block's intermediates instead of summing them all.
+        # (A per-window bounding-sphere cull was tried here and measured
+        # NEUTRAL-to-negative on stress scenes: group-coherent bounds
+        # over 512 Morton rows are too coarse to reject -- one window
+        # holding the radius-1000 ground sphere covers every ray.)
+        kmins = jax.lax.fori_loop(0, n_blocks, blk_step_all, init)
+    return jnp.concatenate(list(kmins), axis=0)
 
 
 def _fold_half(t, bit, stop: int = 8):
@@ -837,16 +844,17 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
     n_blocks = m_pad // blk
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
-    kmin_rows = []
-    for g in range(t_sub):
-        sl = slice(g, g + 1)
-
-        def blk_step(bi, kmin_g, sl=sl):
-            base = pl.multiple_of(bi * blk, blk)
-            col = lambda j: tri_ref[pl.ds(base, blk), j : j + 1]  # noqa: E731
-            v0x, v0y, v0z = col(0), col(1), col(2)
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
+    # Block-major: load each block's 9 columns once for all ray groups
+    # (see _sweep).
+    def blk_step_all(bi, kmins):
+        base = pl.multiple_of(bi * blk, blk)
+        cols9 = [tri_ref[pl.ds(base, blk), j : j + 1] for j in range(9)]
+        v0x, v0y, v0z = cols9[0], cols9[1], cols9[2]
+        e1x, e1y, e1z = cols9[3], cols9[4], cols9[5]
+        e2x, e2y, e2z = cols9[6], cols9[7], cols9[8]
+        out = []
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
             # h = d x e2 (per pair; d broadcast over the block rows)
             hx = dy[sl] * e2z - dz[sl] * e2y
             hy = dz[sl] * e2x - dx[sl] * e2z
@@ -875,14 +883,17 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
                 (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
                 | (blk_ids + base)
             )
-            return jnp.minimum(kmin_g, jnp.min(ki, axis=0, keepdims=True))
+            out.append(
+                jnp.minimum(kmins[g], jnp.min(ki, axis=0, keepdims=True))
+            )
+        return tuple(out)
 
-        if n_blocks == 1:
-            kmin_g = blk_step(0, nohit)
-        else:
-            kmin_g = jax.lax.fori_loop(0, n_blocks, blk_step, nohit)
-        kmin_rows.append(kmin_g)
-    return jnp.concatenate(kmin_rows, axis=0)
+    init = tuple(nohit for _ in range(t_sub))
+    if n_blocks == 1:
+        kmins = blk_step_all(0, init)
+    else:
+        kmins = jax.lax.fori_loop(0, n_blocks, blk_step_all, init)
+    return jnp.concatenate(list(kmins), axis=0)
 
 
 def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
