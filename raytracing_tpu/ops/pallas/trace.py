@@ -67,17 +67,53 @@ from ...scene.types import Scene
 DEFAULT_TILE_RAYS = 1024
 # Scene padding quantum (rows of the sphere tables).
 _SPHERE_BLOCK = 128
+
+
+def _knob(name: str, default: str) -> str:
+    """THE single environment read point of the kernel module. Documented
+    A/B benchmarking knobs (all optional; defaults are the measured-best
+    production configuration -- CLAUDE.md kernel perf log):
+
+      RT_SWEEP_ROWS     sweep block rows (default 512; power of two >= 128)
+      RT_WIN            two-level stage-2 window (default 128; power of two
+                        in [8, RT_SWEEP_ROWS])
+      RT_TWO_LEVEL_MIN  row threshold enabling the two-level closest hit
+                        (default RT_SWEEP_ROWS + 1; huge value disables)
+      RT_GATHER         'mxu' (default) | 'radix' winner-fetch backend
+      RT_TWO_LEVEL_MXU  '1' (default) | '0' stage-2 window fetch on the MXU
+      RT_CULL           '1' (default) | '0' per-block conservative reject
+                        in the two-level stage-1 sweep
+
+    Import-time knobs (RT_SWEEP_ROWS, RT_WIN) are validated below -- a bad
+    value raises instead of silently skipping scene rows. Call-time knobs
+    are read per trace; note jit caches by shapes only, so flip them ONLY
+    between fresh processes or after jax.clear_caches().
+    """
+    import os
+
+    return os.environ.get(name, default)
+
+
 # Sphere rows processed per sweep step (bounds VMEM intermediates:
-# ~8-10 live (rows, 128) f32 tiles in the sweep). RT_SWEEP_ROWS overrides
-# for A/B (1024 doubles the live set to ~4-5 MB; per-block fori overhead
-# on large scenes is an open anomaly).
-_SWEEP_ROWS = int(__import__("os").environ.get("RT_SWEEP_ROWS", "512"))
+# ~8-10 live (rows, 128) f32 tiles in the sweep).
+_SWEEP_ROWS = int(_knob("RT_SWEEP_ROWS", "512"))
 # Stage-2 window of the two-level closest hit (scenes padded past
-# _SWEEP_ROWS rows); power of two in [8, _SWEEP_ROWS]. Smaller windows
-# shrink the collapse accumulators (live vregs across the fori) and the
-# stage-2 re-sweep at the cost of one more packed window-id bit per
-# halving. RT_WIN overrides for A/B benchmarking.
-_WIN = int(__import__("os").environ.get("RT_WIN", "128"))
+# _SWEEP_ROWS rows). Smaller windows shrink the collapse accumulators
+# (live vregs across the fori) and the stage-2 re-sweep at the cost of one
+# more packed window-id bit per halving.
+_WIN = int(_knob("RT_WIN", "128"))
+
+if _SWEEP_ROWS < 128 or (_SWEEP_ROWS & (_SWEEP_ROWS - 1)) != 0:
+    raise ValueError(
+        f"RT_SWEEP_ROWS={_SWEEP_ROWS} must be a power of two >= 128 "
+        "(scene tables are padded in power-of-two row counts; a "
+        "non-dividing block size would silently skip scene rows)"
+    )
+if not (8 <= _WIN <= _SWEEP_ROWS) or (_WIN & (_WIN - 1)) != 0:
+    raise ValueError(
+        f"RT_WIN={_WIN} must be a power of two in [8, {_SWEEP_ROWS}] "
+        "(window ids are bit-packed into the sweep keys)"
+    )
 
 
 def _two_level_enabled(n_pad: int) -> bool:
@@ -86,9 +122,7 @@ def _two_level_enabled(n_pad: int) -> bool:
     Defaults to scenes padded past _SWEEP_ROWS. RT_TWO_LEVEL_MIN overrides
     the threshold (row count; large value disables) for A/B benchmarking.
     """
-    import os
-
-    min_rows = int(os.environ.get("RT_TWO_LEVEL_MIN", _SWEEP_ROWS + 1))
+    min_rows = int(_knob("RT_TWO_LEVEL_MIN", str(_SWEEP_ROWS + 1)))
     # The structure needs >= 2 windows; below that stage 1 is degenerate.
     return n_pad >= max(min_rows, 2 * _WIN)
 
@@ -293,40 +327,25 @@ def _fold_half(t, bit, stop: int = 8):
     return t
 
 
-def _fold_half_i16(t, bit, stop: int = 8):
-    """``_fold_half`` running on a bitcast int16 view of the f32 tile.
-
-    Mosaic's f32 -> i16 bitcast interleaves the two 16-bit halves of each
-    f32 row into adjacent i16 rows (f32 row r <-> i16 rows 2r, 2r+1;
-    verified by scripts/probe_dtype.py), so range-halving maps 1:1 with
-    doubled indices -- the selection bit for an i16 level of size 2s is the
-    f32 bit for size s -- and each 16-bit select moves twice the rows per
-    vreg. Bit patterns are preserved end to end; returns f32 (stop, 128).
-    """
-    t = pltpu.bitcast(t, jnp.int16)
-    size = t.shape[0]
-    while size > 2 * stop:
-        half = size // 2
-        t = jnp.where(bit[half.bit_length() - 2], t[half:size], t[:half])
-        size = half
-    return pltpu.bitcast(t, jnp.float32)
-
-
-def _collapse_window_blocked(col_list, bit, sblk, *, n_rows):
+def _collapse_window_blocked(col_list, bit, start, *, n_rows):
     """Collapse each (n_rows, 1) column of ``col_list`` ((ref, col) pairs)
     to the per-lane winner window as a (_WIN, 128) tile.
 
     A whole-table tournament would materialize (n_rows/2, 128) first-fold
     tiles for EVERY column and Mosaic keeps them live concurrently --
     measured 30 MB of scoped VMEM at 8192 rows x 7 columns (stack OOM).
-    Instead each _SWEEP_ROWS block is folded down to its window candidate
-    and a select keyed on the winner's block index (``sblk``, (1, 128))
-    carries the winner through one fori pass over the table for ALL
-    columns: live intermediates stay O(block) regardless of n_rows.
+    Instead each collapse block is folded down to its window candidate
+    and a select keyed on the winner's block index carries the winner
+    through one fori pass over the table for ALL columns: live
+    intermediates stay O(block) regardless of n_rows.
 
-    ``bit`` are the winner-start bits (global start = win_id * _WIN); its
-    low bits double as the within-block window position, so the same list
-    drives both the block-local fold and the final row folds.
+    ``start`` is the winner window's absolute first row (1, 128); the
+    block index is derived HERE from the collapse block size (the caller's
+    stage-1 sweep may use a different block size -- e.g. the triangle
+    stage 1 runs 256-row blocks -- so it must not be derived there).
+    ``bit`` are the winner-start bits; its low bits double as the
+    within-block window position, so the same list drives both the
+    block-local fold and the final row folds.
     """
     cblk = min(n_rows, _SWEEP_ROWS)
     n_blocks = n_rows // cblk
@@ -335,6 +354,7 @@ def _collapse_window_blocked(col_list, bit, sblk, *, n_rows):
             _fold_half(ref[:, c : c + 1], bit, stop=_WIN)
             for ref, c in col_list
         ]
+    sblk = start >> (cblk.bit_length() - 1)  # winner's collapse block
 
     # Structure is measured-optimal on this toolchain (stress:2048 A/B,
     # CLAUDE.md): static-slice unrolling, arithmetic-materialized
@@ -531,9 +551,7 @@ def _mxu_enabled() -> bool:
     way INTO the plane table. The fix: build byte planes from int32
     words (pack_scene/pack_textures ``with_planes``), never routing
     packed bits through f32-typed ops."""
-    import os
-
-    return os.environ.get("RT_GATHER", "mxu") != "radix"
+    return _knob("RT_GATHER", "mxu") != "radix"
 
 
 def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
@@ -549,11 +567,9 @@ def _two_level_mxu(n_pad: int) -> bool:
     """Static switch: two-level stage-2 window fetch on the MXU (one-hot
     over windows; default ON, RT_TWO_LEVEL_MXU=0 opts out). Bit-exact vs
     the fori collapse on CPU interpret AND hardware (image-hash A/B)."""
-    import os
-
     if not (_mxu_enabled() and _two_level_enabled(n_pad)):
         return False
-    return os.environ.get("RT_TWO_LEVEL_MXU", "1") != "0"
+    return _knob("RT_TWO_LEVEL_MXU", "1") != "0"
 
 
 def _win_plane_table_int(int_cols, n_pad: int, win: int) -> jnp.ndarray:
@@ -709,12 +725,6 @@ def _closest_sphere_two_level(
             (shade_ref, 6), (shade_ref, 7), (shade_ref, 8), (shade_ref, 9)
         ]
 
-    # Benchmark-only ablation hook (scripts/probe_two_level.py): "stage1"
-    # skips the collapse/re-sweep, "stage2" skips the window sweep.
-    import os
-
-    _ablate = os.environ.get("RT_ABLATE", "full")
-
     # Stage 1 for ALL ray groups in one block pass: the fori carries a
     # t_sub-tuple of per-group window minima so each block's 7 column
     # loads (dynamic-base pl.ds -> relayout to lane-replicated) are
@@ -754,9 +764,7 @@ def _closest_sphere_two_level(
             out.append(kwin_g)
         return tuple(out)
 
-    if _ablate == "stage2":
-        kwins = tuple(nohit_w for _ in range(t_sub))
-    elif n_blocks == 1:
+    if n_blocks == 1:
         kwins = blk_step_all(0, tuple(nohit_w for _ in range(t_sub)))
     else:
         kwins = jax.lax.fori_loop(
@@ -768,11 +776,6 @@ def _closest_sphere_two_level(
     for g in range(t_sub):
         sl = slice(g, g + 1)
         kwin = kwins[g]
-        if _ablate == "stage1":
-            hit_rows.append(kwin)
-            for jj in range(len(col_list)):
-                col_rows[jj].append(jnp.zeros((1, 128), jnp.float32))
-            continue
 
         # Stage 2: collapse columns to the winner window, exact re-sweep.
         if mxu_win is not None:
@@ -790,9 +793,8 @@ def _closest_sphere_two_level(
         else:
             start = (kwin & wmask) << win_shift  # absolute first row
             bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
-            sblk = start >> (blk.bit_length() - 1)  # winner's block
             collapsed = _collapse_window_blocked(
-                col_list, bit, sblk, n_rows=n_pad
+                col_list, bit, start, n_rows=n_pad
             )
             cxw, cyw, czw, _rw, cm2w, _w1w, _w2w = collapsed[:7]
         h = cxw * dx[sl] + cyw * dy[sl] + czw * dz[sl] - d_dot_o[sl]
@@ -1006,9 +1008,8 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
         else:
             start = (kwin & wmask) << win_shift
             bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
-            sblk = start >> (blk.bit_length() - 1)  # winner's block
             collapsed = _collapse_window_blocked(
-                [(tri_ref, c) for c in range(11)], bit, sblk, n_rows=m_pad
+                [(tri_ref, c) for c in range(11)], bit, start, n_rows=m_pad
             )
         key = tri_keys(lambda j: collapsed[j], sl)
         ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
@@ -1023,18 +1024,30 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
     return _tri_exact(cols, hitk, rows)
 
 
-def _tri_winner(tri_ref, kmin, rows, *, m_pad, t_sub):
+def _tri_winner(tri_ref, kmin, rows, *, m_pad, t_sub, mxu_ref=None):
     """Gather the winning triangle's 11 columns and redo Moller-Trumbore
     exactly (f32 divide) -- the id-packed key's quantized t never reaches
     the image. Returns (hit, t, p, outward unit normal, albedo rgb, param).
+
+    With ``mxu_ref`` (the pack_triangles ``with_planes`` byte-plane table)
+    the fetch runs as a one-hot matmul on the otherwise-idle MXU instead of
+    11 VPU radix folds -- bit-exact (same construction as the sphere
+    ``_gather_mxu``; geometry columns bitcast back to f32, packed material
+    words stay int32 per the subnormal/NaN rule).
     """
     pack_mask = (1 << _pack_bits(m_pad)) - 1
     nohit_key = _f32_bits(_BIGF) & ~pack_mask
     hitk = kmin < nohit_key
     imin = kmin & pack_mask
-    cols = _gather_cols(
-        tri_ref, range(11), imin, n_rows=m_pad, t_sub=t_sub
-    )
+    if mxu_ref is not None:
+        words = _gather_mxu(
+            mxu_ref, imin, n_pad=m_pad, t_sub=t_sub, n_cols=11
+        )
+        cols = [pltpu.bitcast(w, jnp.float32) for w in words[:9]] + words[9:]
+    else:
+        cols = _gather_cols(
+            tri_ref, range(11), imin, n_rows=m_pad, t_sub=t_sub
+        )
     return _tri_exact(cols, hitk, rows)
 
 
@@ -1281,15 +1294,19 @@ def _bounce_core(
         # Closest hit over BOTH primitive families: sweep the triangle
         # table, recompute the winner's exact t, take the per-lane min
         # against the sphere winner's exact t.
-        tri_ref, m_pad, tri_win = tris
+        # tri_mxu carries the window-major plane table (two-level path) or
+        # the flat byte-plane table (<= _SWEEP_ROWS meshes); the static
+        # _two_level_enabled branch picks the matching fetch.
+        tri_ref, m_pad, tri_mxu = tris
         if _two_level_enabled(m_pad):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
-                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_win
+                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_mxu
             )
         else:
             kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
             hit_t, t_t, tp, tn, ta, tparam = _tri_winner(
-                tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub
+                tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub,
+                mxu_ref=tri_mxu,
             )
         t_sph = jnp.where(hitm, t_safe, _BIGF)
         pick = hit_t & ((~hitm) | (t_t < t_sph))
@@ -1720,11 +1737,16 @@ def _render_pixels_fused(
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tri_mxu = _two_level_mxu(tri_pad)
+        if _two_level_mxu(tri_pad):
+            # Stage-2 window fetch table (two-level meshes).
+            tri_mxu = True
+            tri_planes = pack_triangles(scene, with_win_planes=True)[2]
+        elif _mxu_enabled() and not _two_level_enabled(tri_pad):
+            # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
+            tri_mxu = True
+            tri_planes = pack_triangles(scene, with_planes=True)[2]
         if tri_mxu:
-            tex_inputs = (
-                *tex_inputs, pack_triangles(scene, with_win_planes=True)[2]
-            )
+            tex_inputs = (*tex_inputs, tri_planes)
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(
@@ -2010,11 +2032,16 @@ def trace_rays_fused(
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tri_mxu = _two_level_mxu(tri_pad)
+        if _two_level_mxu(tri_pad):
+            # Stage-2 window fetch table (two-level meshes).
+            tri_mxu = True
+            tri_planes = pack_triangles(scene, with_win_planes=True)[2]
+        elif _mxu_enabled() and not _two_level_enabled(tri_pad):
+            # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
+            tri_mxu = True
+            tri_planes = pack_triangles(scene, with_planes=True)[2]
         if tri_mxu:
-            tex_inputs = (
-                *tex_inputs, pack_triangles(scene, with_win_planes=True)[2]
-            )
+            tex_inputs = (*tex_inputs, tri_planes)
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     kernel = functools.partial(
@@ -2162,6 +2189,7 @@ def pack_triangles(
     scene: Scene,
     m_pad_multiple: int = _SPHERE_BLOCK,
     with_win_planes: bool = False,
+    with_planes: bool = False,
 ):
     """Triangles -> (tri_table f32[M_pad, 16], m_actual) for the kernel.
 
@@ -2205,10 +2233,10 @@ def pack_triangles(
          w1, w2, z, z, z, z, z],
         axis=1,
     )
-    if with_win_planes:
-        # Stage-2 MXU window-fetch table; column order must match
-        # _closest_tri_two_level (v0, e1, e2, w1, w2). Int sources for the
-        # packed words (subnormal/NaN rule, see pack_scene).
+    if with_win_planes or with_planes:
+        # MXU fetch tables; column order must match the kernel's triangle
+        # column order (v0, e1, e2, w1, w2). Int sources for the packed
+        # words (subnormal/NaN rule, see pack_scene).
         fbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
         wcols = [
             fbits(v0[:, 0]), fbits(v0[:, 1]), fbits(v0[:, 2]),
@@ -2216,10 +2244,12 @@ def pack_triangles(
             fbits(e2[:, 0]), fbits(e2[:, 1]), fbits(e2[:, 2]),
             w1i, w2i,
         ]
-        return (
-            table.astype(jnp.float32), m,
-            _win_plane_table_int(wcols, m_pad, _WIN),
+        planes = (
+            _win_plane_table_int(wcols, m_pad, _WIN)
+            if with_win_planes
+            else _plane_table_int(wcols, m_pad)
         )
+        return table.astype(jnp.float32), m, planes
     return table.astype(jnp.float32), m
 
 

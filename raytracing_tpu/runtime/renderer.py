@@ -363,7 +363,9 @@ class Renderer:
         return self._elapsed_base + (end - self._start_time)
 
     # -- work decomposition --------------------------------------------------
-    def _plan(self, spp: int, total_slots: int) -> tuple[int, int]:
+    def _plan(
+        self, spp: int, total_slots: int, has_observer: bool = False
+    ) -> tuple[int, int]:
         """Choose (slot_block, chunk_spp) so a wave is <= max_rays_per_batch
         rays. Favor whole-image blocks (better for progressive preview);
         split samples first, pixels only when one-sample whole-image waves are
@@ -380,17 +382,20 @@ class Renderer:
             )
             block = -(-total_slots // quantum) * quantum
             # Baseline chunk: bounded rays per wave (progress granularity).
-            # But never split a large spp budget into more than ~4 waves:
-            # within a kernel program the wave ends when ALL lanes finish
-            # their chunk, so small chunks pay the straggler-lane tail
-            # (long paths at high max_depth) once per chunk. Measured on
-            # the cover scene at depth 50: 128-spp chunks are 1.87x the
-            # throughput of 32-spp chunks (41 -> 77 Mrays/s).
+            # Without a progress observer, never split a large spp budget
+            # into more than ~4 waves: within a kernel program the wave
+            # ends when ALL lanes finish their chunk, so small chunks pay
+            # the straggler-lane tail (long paths at high max_depth) once
+            # per chunk. Measured on the cover scene at depth 50: 128-spp
+            # chunks are 1.87x the throughput of 32-spp chunks (41 -> 77
+            # Mrays/s). WITH an observer, preview/checkpoint granularity
+            # wins: keep the rays-per-wave bound only.
             chunk_spp = max(
                 1,
                 min(spp, (self.max_rays_per_batch * 64) // max(block, 1)),
-                -(-spp // 4),
             )
+            if not has_observer:
+                chunk_spp = max(chunk_spp, -(-spp // 4))
             return block, chunk_spp
         # With a mesh, pixel blocks must divide evenly over the px axis.
         px_quantum = self.mesh.shape["px"] if self.mesh is not None else 1
@@ -457,7 +462,9 @@ class Renderer:
             all_ids = np.arange(num_pixels, dtype=np.int32)
             pixel_order = "linear"
         total_slots = len(all_ids)
-        pixel_block, chunk_spp = self._plan(spp, total_slots)
+        pixel_block, chunk_spp = self._plan(
+            spp, total_slots, has_observer=on_progress is not None
+        )
         # Adaptive wave sizing (pallas only; chunk size is a runtime loop
         # bound there, not a memory knob): big waves amortize the
         # straggler-lane tail (measured 41 -> 77 Mrays/s on the cover scene

@@ -1,12 +1,16 @@
-"""Ablate the two-level closest hit to find where cycles go at large N.
+"""Time the two-level closest hit at large N under the surviving knobs.
 
 Times trace_rays_fused (depth 1 -- exactly one _bounce_core per ray) on a
-stress scene, with RT_ABLATE selecting a kernel variant:
-  full    -- normal two-level
-  stage1  -- window sweep only (stage 2 replaced by zeros)
-  stage2  -- collapse + re-sweep with win_id forced to 0 (no stage 1)
+stress scene. Knobs: RT_SWEEP_ROWS / RT_WIN / RT_TWO_LEVEL_MIN /
+RT_GATHER / RT_TWO_LEVEL_MXU / RT_CULL (see trace._knob).
 
-Usage: RT_ABLATE=stage1 python scripts/probe_two_level.py --spheres 2048
+History: an RT_ABLATE hook (stage1 / stage2 kernel variants) lived in the
+production kernel during the round-2 stage-1 anomaly investigation; the
+anomaly was SOLVED (per-group dynamic-base load re-issue -- CLAUDE.md) and
+the hook was removed from trace.py in round 3. The measured ablation
+numbers are recorded in CLAUDE.md's kernel perf log.
+
+Usage: RT_WIN=64 python scripts/probe_two_level.py --spheres 2048
 """
 
 from __future__ import annotations
@@ -56,8 +60,16 @@ def main():
     print("  times(ms):", [round(t * 1e3, 1) for t in times])
     segs = float(seg)
     cyc = best * 0.94e9 / segs
+    knobs = " ".join(
+        f"{k}={os.environ[k]}"
+        for k in (
+            "RT_SWEEP_ROWS", "RT_WIN", "RT_TWO_LEVEL_MIN", "RT_GATHER",
+            "RT_TWO_LEVEL_MXU", "RT_CULL",
+        )
+        if k in os.environ
+    )
     print(
-        f"ablate={os.environ.get('RT_ABLATE', 'full'):7s} "
+        f"knobs=[{knobs}] "
         f"N={args.spheres} depth={args.depth}: {best*1e3:8.2f} ms, "
         f"{segs/1e6:.2f} Mseg -> {cyc:6.1f} cyc/seg, "
         f"{segs/best/1e6:7.2f} Mray/s"

@@ -364,6 +364,69 @@ def test_pallas_mesh_two_level_parity():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
 
 
+def test_pallas_mesh_two_level_radix_parity(monkeypatch):
+    """RT_TWO_LEVEL_MXU=0 forces the two-level triangle path's radix/fori
+    collapse fallback. m_pad = 2048 with the 256-row triangle stage-1
+    blocks exercises the stage-1 vs collapse block-size split: the winner's
+    collapse-block index must be derived from the COLLAPSE block size (512)
+    inside _collapse_window_blocked, not the caller's stage-1 size --
+    deriving it from the 256-row stage-1 size collapsed the wrong block for
+    winners past row 255 (round-2 advisor finding)."""
+    import jax
+
+    monkeypatch.setenv("RT_TWO_LEVEL_MXU", "0")
+    # The knob is read at trace time; drop cached executables so both this
+    # trace and later default-config traces see their own env.
+    jax.clear_caches()
+    try:
+        verts, faces = rmesh.make_icosphere(3)  # 1280 tris -> m_pad 2048
+        b = SceneBuilder()
+        b.add_metallic_sphere(
+            (0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0
+        )
+        b.add_mesh(
+            verts * 0.8 + np.float32([0.0, 0.3, -2.0]), faces,
+            albedo=(0.8, 0.8, 0.9), kind=MaterialKind.METALLIC, fuzz=0.0,
+        )
+        scene = b.build()
+        n = 1024
+        keys = _keys(n, seed=11)
+        d = rrng.unit_vector(keys)
+        o = jnp.zeros((n, 3), jnp.float32)
+        rad_p, seg_p = _run_fused_rays(scene, o, d, 4)
+        rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 4)
+        assert seg_p == int(seg_x), (seg_p, int(seg_x))
+        rx = np.asarray(rad_x)
+        tight = (np.abs(rad_p - rx) <= 1e-3).all(axis=1)
+        assert tight.mean() >= 0.995, f"only {tight.mean():.4f} rays match"
+        assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
+    finally:
+        jax.clear_caches()
+
+
+def test_pallas_mesh_flat_mxu_matches_radix_bitexact(monkeypatch):
+    """The flat (<= _SWEEP_ROWS) triangle winner fetch on the MXU
+    (_tri_winner mxu_ref, round 3) must reproduce the VPU radix gather's
+    radiance BIT-FOR-BIT -- byte planes are exact in any matmul precision
+    and the packed material words stay int32 end to end."""
+    import jax
+
+    scene = _metal_mesh_scene()  # 80 tris -> m_pad 128 (flat path)
+    n = 1024
+    keys = _keys(n, seed=9)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    rad_mxu, seg_mxu = _run_fused_rays(scene, o, d, 5)
+    monkeypatch.setenv("RT_GATHER", "radix")
+    jax.clear_caches()
+    try:
+        rad_radix, seg_radix = _run_fused_rays(scene, o, d, 5)
+    finally:
+        jax.clear_caches()
+    assert seg_mxu == seg_radix
+    assert np.array_equal(rad_mxu, rad_radix)
+
+
 def test_pallas_mesh_only_scene():
     """Triangles with ZERO spheres through the kernel."""
     verts, faces = rmesh.make_icosphere(1)
