@@ -116,6 +116,85 @@ if not (8 <= _WIN <= _SWEEP_ROWS) or (_WIN & (_WIN - 1)) != 0:
     )
 
 
+def _cull_enabled() -> bool:
+    """Static (trace-time) switch for the per-block conservative reject in
+    the two-level stage-1 sweeps (default ON; RT_CULL=0 opts out for A/B).
+
+    Culling is BIT-TRANSPARENT: a block is skipped only when no lane's ray
+    can intersect the block's (widened) bounding sphere strictly closer
+    than the lane's current upper bound, so the stage-1 window minima --
+    and therefore the image -- are bit-identical with culling on or off
+    (tested; see test_pallas.py cull A/B tests)."""
+    return _knob("RT_CULL", "1") != "0"
+
+
+def _tri_blk(m_pad: int) -> int:
+    """Stage-1 block rows of the two-level triangle sweep (smaller than the
+    sphere path's _SWEEP_ROWS: the Moller-Trumbore live set x 8 ray groups
+    exceeded the scoped-vmem limit at 512)."""
+    return min(m_pad, max(_WIN, _SWEEP_ROWS // 2))
+
+
+def _block_bounds(centers, radii, n_valid: int, blk: int):
+    """Per-block bounding spheres for the stage-1 cull: f32[(n_blocks*4,)]
+    rows [Cx, Cy, Cz, |C|^2 - R^2] per ``blk`` table rows (SMEM layout).
+
+    R is widened (relative + absolute epsilon) so the in-kernel f32 bound
+    test is conservative against rounding in both the bound roots and the
+    per-sphere candidate roots -- skipping must never lose a true winner.
+    Rows >= ``n_valid`` (padding) are excluded; an all-padding block gets
+    cm2 = +3e38 so its discriminant is always negative (never passes).
+    """
+    n_pad = centers.shape[0]
+    nb = n_pad // blk
+    valid = (jnp.arange(n_pad) < n_valid).reshape(nb, blk, 1)
+    c = centers.reshape(nb, blk, 3)
+    r = radii.reshape(nb, blk, 1)
+    big = jnp.float32(3.0e37)
+    lo = jnp.min(jnp.where(valid, c - r, big), axis=1)
+    hi = jnp.max(jnp.where(valid, c + r, -big), axis=1)
+    has = jnp.any(valid, axis=1)[:, 0]
+    ctr = jnp.where(has[:, None], 0.5 * (lo + hi), 0.0)
+    dist = jnp.sqrt(
+        jnp.sum((c - ctr[:, None, :]) ** 2, axis=-1, keepdims=True)
+    ) + r
+    rad = jnp.max(jnp.where(valid, dist, 0.0), axis=1)[:, 0]
+    rad = rad * 1.001 + 1.0e-3
+    bm2 = jnp.where(has, jnp.sum(ctr * ctr, axis=1) - rad * rad, 3.0e38)
+    return jnp.concatenate(
+        [ctr, bm2[:, None]], axis=1
+    ).reshape(-1).astype(jnp.float32)
+
+
+def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int):
+    """Triangle analog of ``_block_bounds``: bounding sphere per stage-1
+    block over the triangles' vertices (v0, v0+e1, v0+e2)."""
+    p1 = v0 + e1
+    p2 = v0 + e2
+    tlo = jnp.minimum(jnp.minimum(v0, p1), p2)
+    thi = jnp.maximum(jnp.maximum(v0, p1), p2)
+    m_pad = v0.shape[0]
+    nb = m_pad // blk
+    valid = (jnp.arange(m_pad) < m_valid).reshape(nb, blk, 1)
+    big = jnp.float32(3.0e37)
+    lo = jnp.min(jnp.where(valid, tlo.reshape(nb, blk, 3), big), axis=1)
+    hi = jnp.max(jnp.where(valid, thi.reshape(nb, blk, 3), -big), axis=1)
+    has = jnp.any(valid, axis=1)[:, 0]
+    ctr = jnp.where(has[:, None], 0.5 * (lo + hi), 0.0)
+    # Farthest corner of each triangle's AABB from the block center.
+    dlo = jnp.abs(tlo.reshape(nb, blk, 3) - ctr[:, None, :])
+    dhi = jnp.abs(thi.reshape(nb, blk, 3) - ctr[:, None, :])
+    dist = jnp.sqrt(
+        jnp.sum(jnp.maximum(dlo, dhi) ** 2, axis=-1, keepdims=True)
+    )
+    rad = jnp.max(jnp.where(valid, dist, 0.0), axis=1)[:, 0]
+    rad = rad * 1.001 + 1.0e-3
+    bm2 = jnp.where(has, jnp.sum(ctr * ctr, axis=1) - rad * rad, 3.0e38)
+    return jnp.concatenate(
+        [ctr, bm2[:, None]], axis=1
+    ).reshape(-1).astype(jnp.float32)
+
+
 def _two_level_enabled(n_pad: int) -> bool:
     """Static (trace-time) switch for the two-level closest hit.
 
@@ -668,7 +747,7 @@ def _plane_table_int(int_cols, n_pad: int) -> jnp.ndarray:
 
 def _closest_sphere_two_level(
     geh_ref, gec_ref, shade_ref, rows, *, n_pad, t_sub, textured,
-    mxu_win=None,
+    mxu_win=None, bnd_ref=None,
 ):
     """Two-level closest hit over spheres for scenes past _SWEEP_ROWS rows.
 
@@ -729,7 +808,7 @@ def _closest_sphere_two_level(
     # t_sub-tuple of per-group window minima so each block's 7 column
     # loads (dynamic-base pl.ds -> relayout to lane-replicated) are
     # issued ONCE per block instead of once per (group, block).
-    def blk_step_all(b, kwins):
+    def blk_body(b, kwins):
         base = pl.multiple_of(b * blk, blk)
         cx = geh_ref[pl.ds(base, blk), 0:1]
         cy = geh_ref[pl.ds(base, blk), 1:2]
@@ -764,8 +843,48 @@ def _closest_sphere_two_level(
             out.append(kwin_g)
         return tuple(out)
 
+    def blk_step_all(b, kwins):
+        if bnd_ref is None:
+            return blk_body(b, kwins)
+        # Per-block conservative reject (bit-transparent: see
+        # _cull_enabled). The block's bounding sphere [C, |C|^2 - R^2]
+        # runs the SAME scaled-root quadratic as its spheres; every
+        # contained sphere's candidate interval lies inside the bound's
+        # [nearB, farB] (R is widened at pack time for f32 margin), so
+        # rejecting on "nearB strictly past the lane's current upper
+        # bound" can never drop a key that would have won the min.
+        bcx = bnd_ref[4 * b]
+        bcy = bnd_ref[4 * b + 1]
+        bcz = bnd_ref[4 * b + 2]
+        bm2 = bnd_ref[4 * b + 3]
+        anyv = jnp.zeros((1, 128), jnp.int32)
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
+            cq_b = (
+                bm2
+                - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
+                + o_dot_o[sl]
+            )
+            delta_b = h_b * h_b - a[sl] * cq_b
+            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
+            near_b = h_b - sq_b
+            far_b = h_b + sq_b
+            # Upper bound of the lane's current best scaled root: the
+            # quantized key's value bits with the packed id bits forced
+            # to 1 (>= the true winning nroot).
+            cur_hi = pltpu.bitcast(kwins[g] | wmask, jnp.float32)
+            passg = (far_b > ta[sl] * 0.999) & (
+                near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
+            )
+            anyv = anyv | passg.astype(jnp.int32)
+        return jax.lax.cond(
+            jnp.max(anyv) > 0, lambda kw: blk_body(b, kw), lambda kw: kw,
+            kwins,
+        )
+
     if n_blocks == 1:
-        kwins = blk_step_all(0, tuple(nohit_w for _ in range(t_sub)))
+        kwins = blk_body(0, tuple(nohit_w for _ in range(t_sub)))
     else:
         kwins = jax.lax.fori_loop(
             0, n_blocks, blk_step_all, tuple(nohit_w for _ in range(t_sub))
@@ -898,7 +1017,9 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
     return jnp.concatenate(list(kmins), axis=0)
 
 
-def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
+def _closest_tri_two_level(
+    tri_ref, rows, *, m_pad, t_sub, mxu_win=None, bnd_ref=None
+):
     """Two-level Moller-Trumbore closest hit for meshes past _SWEEP_ROWS
     triangles -- the triangle analog of ``_closest_sphere_two_level``.
 
@@ -922,7 +1043,7 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
     # per-group live set is ~2x the quadratic's, and the block-major loop
     # (all 8 ray groups per block) exceeded the 16 MB scoped-vmem limit at
     # 512-row blocks (18.6 MB measured on the 2048-tri mesh kernel).
-    blk = min(m_pad, max(_WIN, _SWEEP_ROWS // 2))
+    blk = _tri_blk(m_pad)
     nwin_blk = blk // _WIN
     n_blocks = m_pad // blk
     nohit_w = jnp.full((1, 128), _f32_bits(_BIGF) & ~wmask, jnp.int32)
@@ -963,7 +1084,7 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
 
     # Stage 1 for ALL ray groups per block pass (one set of column loads
     # per block -- see _closest_sphere_two_level's blk_step_all).
-    def blk_step_all(bi, kwins):
+    def blk_body(bi, kwins):
         base = pl.multiple_of(bi * blk, blk)
         cols9 = [tri_ref[pl.ds(base, blk), j : j + 1] for j in range(9)]
         out = []
@@ -982,8 +1103,49 @@ def _closest_tri_two_level(tri_ref, rows, *, m_pad, t_sub, mxu_win=None):
             out.append(kwin_g)
         return tuple(out)
 
+    ox_, oy_, oz_ = ox, oy, oz
+    a = dx * dx + dy * dy + dz * dz
+    d_dot_o = dx * ox_ + dy * oy_ + dz * oz_
+    o_dot_o = ox_ * ox_ + oy_ * oy_ + oz_ * oz_
+    ta = _T_MIN * a
+
+    def blk_step_all(bi, kwins):
+        if bnd_ref is None:
+            return blk_body(bi, kwins)
+        # Per-block conservative reject (see _closest_sphere_two_level).
+        # Triangle keys are in UNSCALED t (approx-reciprocal candidates),
+        # so the bound's scaled roots compare against a[sl] * cur_hi with
+        # an extra relative margin covering the reciprocal's error.
+        bcx = bnd_ref[4 * bi]
+        bcy = bnd_ref[4 * bi + 1]
+        bcz = bnd_ref[4 * bi + 2]
+        bm2 = bnd_ref[4 * bi + 3]
+        anyv = jnp.zeros((1, 128), jnp.int32)
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
+            cq_b = (
+                bm2
+                - 2.0 * (bcx * ox_[sl] + bcy * oy_[sl] + bcz * oz_[sl])
+                + o_dot_o[sl]
+            )
+            delta_b = h_b * h_b - a[sl] * cq_b
+            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
+            near_b = h_b - sq_b
+            far_b = h_b + sq_b
+            cur_hi = pltpu.bitcast(kwins[g] | wmask, jnp.float32)
+            thr = a[sl] * cur_hi
+            passg = (far_b > ta[sl] * 0.99) & (
+                near_b <= thr + 0.01 * jnp.abs(thr) + 1.0e-3
+            )
+            anyv = anyv | passg.astype(jnp.int32)
+        return jax.lax.cond(
+            jnp.max(anyv) > 0, lambda kw: blk_body(bi, kw), lambda kw: kw,
+            kwins,
+        )
+
     if n_blocks == 1:
-        kwins = blk_step_all(0, tuple(nohit_w for _ in range(t_sub)))
+        kwins = blk_body(0, tuple(nohit_w for _ in range(t_sub)))
     else:
         kwins = jax.lax.fori_loop(
             0, n_blocks, blk_step_all, tuple(nohit_w for _ in range(t_sub))
@@ -1188,7 +1350,8 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
 
 
 def _bounce_core(
-    refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None, mxu=None
+    refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None, mxu=None,
+    sph_bnd=None,
 ):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
@@ -1224,6 +1387,7 @@ def _bounce_core(
                 geh_ref, gec_ref, shade_ref, rows,
                 n_pad=n_pad, t_sub=t_sub, textured=tex is not None,
                 mxu_win=mxu[0] if mxu is not None else None,
+                bnd_ref=sph_bnd,
             )
         )
     else:
@@ -1297,10 +1461,11 @@ def _bounce_core(
         # tri_mxu carries the window-major plane table (two-level path) or
         # the flat byte-plane table (<= _SWEEP_ROWS meshes); the static
         # _two_level_enabled branch picks the matching fetch.
-        tri_ref, m_pad, tri_mxu = tris
+        tri_ref, m_pad, tri_mxu, tri_bnd = tris
         if _two_level_enabled(m_pad):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
-                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_mxu
+                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_mxu,
+                bnd_ref=tri_bnd,
             )
         else:
             kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
@@ -1491,7 +1656,7 @@ def _regen_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [mxu_ref][tex_ref][tri_ref] rad_ref, stats_ref
+    *rest,         # [mxu_ref][sph_bnd][tex_ref][tri_ref][tri_bnd] rad, stats
     n_pad: int,
     tile_shape: tuple[int, int],
     pixel_order: str,
@@ -1500,9 +1665,12 @@ def _regen_kernel(
     mxu_cols: int = 0,
     tex_mxu: bool = False,
     tri_mxu: bool = False,
+    sph_cull: bool = False,
+    tri_cull: bool = False,
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
+    sph_bnd = rest.pop(0) if sph_cull else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1512,7 +1680,8 @@ def _regen_kernel(
     if tri_pad is not None:
         tref2 = rest.pop(0)
         tw = rest.pop(0) if tri_mxu else None
-        tris = (tref2, tri_pad, tw)
+        tbnd = rest.pop(0) if tri_cull else None
+        tris = (tref2, tri_pad, tw, tbnd)
     rad_ref, stats_ref = rest
     spp = meta_ref[5]
     max_depth = meta_ref[6]
@@ -1572,6 +1741,7 @@ def _regen_kernel(
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
             n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris, mxu=mxu,
+            sph_bnd=sph_bnd,
         )
         hitm = out["hitm"]
 
@@ -1717,6 +1887,17 @@ def _render_pixels_fused(
         mxu_cols = 11 if scene.has_textures else 7
         tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    sph_cull = (
+        _cull_enabled() and _two_level_enabled(n_pad) and n_pad > _SWEEP_ROWS
+    )
+    if sph_cull:
+        # Per-block bounding spheres for the stage-1 conservative reject
+        # (SMEM scalars; 4 per sweep block).
+        tex_inputs = (
+            *tex_inputs,
+            _block_bounds(geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS),
+        )
+        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
     tex_plane = None
     tex_mxu = False
     if scene.has_textures:
@@ -1732,8 +1913,9 @@ def _render_pixels_fused(
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
     tri_mxu = False
+    tri_cull = False
     if scene.has_triangles:
-        tri_table, _ = pack_triangles(scene)
+        tri_table, tri_m = pack_triangles(scene)
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -1748,6 +1930,20 @@ def _render_pixels_fused(
         if tri_mxu:
             tex_inputs = (*tex_inputs, tri_planes)
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tri_cull = (
+            _cull_enabled()
+            and _two_level_enabled(tri_pad)
+            and tri_pad > _tri_blk(tri_pad)
+        )
+        if tri_cull:
+            tex_inputs = (
+                *tex_inputs,
+                _tri_block_bounds(
+                    tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
+                    tri_m, _tri_blk(tri_pad),
+                ),
+            )
+            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     kernel = functools.partial(
         _regen_kernel,
@@ -1759,6 +1955,8 @@ def _render_pixels_fused(
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
         tri_mxu=tri_mxu,
+        sph_cull=sph_cull,
+        tri_cull=tri_cull,
     )
 
 
@@ -1854,7 +2052,8 @@ def _trace_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [mxu_ref][tex_ref][tri_ref] rays_ref, rad_ref, stats_ref
+    *rest,         # [mxu_ref][sph_bnd][tex_ref][tri_ref][tri_bnd] rays,
+                   # rad_ref, stats_ref
     n_pad: int,
     max_depth: int,
     tile_shape: tuple[int, int],
@@ -1863,9 +2062,12 @@ def _trace_kernel(
     mxu_cols: int = 0,
     tex_mxu: bool = False,
     tri_mxu: bool = False,
+    sph_cull: bool = False,
+    tri_cull: bool = False,
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
+    sph_bnd = rest.pop(0) if sph_cull else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1875,7 +2077,8 @@ def _trace_kernel(
     if tri_pad is not None:
         tref2 = rest.pop(0)
         tw = rest.pop(0) if tri_mxu else None
-        tris = (tref2, tri_pad, tw)
+        tbnd = rest.pop(0) if tri_cull else None
+        tris = (tref2, tri_pad, tw, tbnd)
     rays_ref, rad_ref, stats_ref = rest
     seed = meta_ref[1]
     tile_idx = meta_ref[2] + pl.program_id(0)
@@ -1917,6 +2120,7 @@ def _trace_kernel(
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
             n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris, mxu=mxu,
+            sph_bnd=sph_bnd,
         )
         hitm = out["hitm"]
         hit_f = jnp.where(hitm, 1.0, 0.0)
@@ -2012,6 +2216,17 @@ def trace_rays_fused(
         mxu_cols = 11 if scene.has_textures else 7
         tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    sph_cull = (
+        _cull_enabled() and _two_level_enabled(n_pad) and n_pad > _SWEEP_ROWS
+    )
+    if sph_cull:
+        # Per-block bounding spheres for the stage-1 conservative reject
+        # (SMEM scalars; 4 per sweep block).
+        tex_inputs = (
+            *tex_inputs,
+            _block_bounds(geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS),
+        )
+        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
     tex_plane = None
     tex_mxu = False
     if scene.has_textures:
@@ -2027,8 +2242,9 @@ def trace_rays_fused(
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
     tri_pad = None
     tri_mxu = False
+    tri_cull = False
     if scene.has_triangles:
-        tri_table, _ = pack_triangles(scene)
+        tri_table, tri_m = pack_triangles(scene)
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -2043,6 +2259,20 @@ def trace_rays_fused(
         if tri_mxu:
             tex_inputs = (*tex_inputs, tri_planes)
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tri_cull = (
+            _cull_enabled()
+            and _two_level_enabled(tri_pad)
+            and tri_pad > _tri_blk(tri_pad)
+        )
+        if tri_cull:
+            tex_inputs = (
+                *tex_inputs,
+                _tri_block_bounds(
+                    tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
+                    tri_m, _tri_blk(tri_pad),
+                ),
+            )
+            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     kernel = functools.partial(
         _trace_kernel,
@@ -2054,6 +2284,8 @@ def trace_rays_fused(
         mxu_cols=mxu_cols,
         tex_mxu=tex_mxu,
         tri_mxu=tri_mxu,
+        sph_cull=sph_cull,
+        tri_cull=tri_cull,
     )
 
 

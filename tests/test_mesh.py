@@ -464,3 +464,33 @@ def test_renderer_mesh_pallas_vs_xla_image():
     bx = img_x.astype(np.float32).reshape(8, 4, 16, 4, 3).mean(axis=(1, 3))
     bp = img_p.astype(np.float32).reshape(8, 4, 16, 4, 3).mean(axis=(1, 3))
     assert np.abs(bx - bp).max() < 28.0, np.abs(bx - bp).max()
+
+
+def test_pallas_mesh_cull_bit_transparent(monkeypatch):
+    """Triangle analog of test_sphere_cull_bit_transparent: the per-block
+    bounding-sphere reject over the 256-row triangle stage-1 blocks must
+    leave radiance bit-identical (1280 tris -> m_pad 2048 = 8 cull
+    blocks)."""
+    import jax
+
+    verts, faces = rmesh.make_icosphere(3)  # 1280 tris -> m_pad 2048
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_mesh(
+        verts * 0.8 + np.float32([0.0, 0.3, -2.0]), faces,
+        albedo=(0.8, 0.8, 0.9), kind=MaterialKind.METALLIC, fuzz=0.0,
+    )
+    scene = b.build()
+    n = 1024
+    keys = _keys(n, seed=13)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    rad_cull, seg_cull = _run_fused_rays(scene, o, d, 4)
+    monkeypatch.setenv("RT_CULL", "0")
+    jax.clear_caches()
+    try:
+        rad_ref, seg_ref = _run_fused_rays(scene, o, d, 4)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)

@@ -414,3 +414,31 @@ def test_mxu_gather_matches_radix_bitexact():
     np.testing.assert_array_equal(
         np.asarray(oa).view(np.int32), np.asarray(ob).view(np.int32)
     )
+
+
+def test_sphere_cull_bit_transparent(monkeypatch):
+    """The per-block conservative reject in the two-level stage-1 sweep
+    (round 3, RT_CULL) must be BIT-transparent: a block is skipped only
+    when no lane can beat its current upper bound inside the block's
+    widened bounding sphere, so radiance with culling on vs off must be
+    identical to the last bit. 600 spheres -> n_pad 1024 = 2 sweep blocks
+    (two-level + cull active)."""
+    rng = np.random.default_rng(12)
+    b = SceneBuilder()
+    for _ in range(600):
+        b.add_metallic_sphere(rng.normal(size=3) * 8, rng.uniform(0.2, 0.6),
+                              (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    n = 1024
+    keys = _keys(n, seed=9)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    rad_cull, seg_cull = _run_fused(scene, o, d, 3)
+    monkeypatch.setenv("RT_CULL", "0")
+    jax.clear_caches()
+    try:
+        rad_ref, seg_ref = _run_fused(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
