@@ -135,9 +135,31 @@ def _tri_blk(m_pad: int) -> int:
     return min(m_pad, max(_WIN, _SWEEP_ROWS // 2))
 
 
-def _block_bounds(centers, radii, n_valid: int, blk: int):
-    """Per-block bounding spheres for the stage-1 cull: f32[(n_blocks*4,)]
-    rows [Cx, Cy, Cz, |C|^2 - R^2] per ``blk`` table rows (SMEM layout).
+def _order_bounds(ctr, rad, has, origin):
+    """Front-to-back visit order for stage-1 cull blocks: sort by the
+    ray-origin proxy's distance to each bound's NEAR surface (|C - origin|
+    - R; empty blocks last). Visit order does not affect results -- the
+    stage-1 min over candidate keys is order-independent -- but visiting
+    near blocks first tightens every lane's current-best bound early so
+    far blocks fail the cull's t-test instead of being swept.
+
+    Returns (order int32[(nb,)], bounds_sorted f32[(nb*4,)]).
+    """
+    bm2 = jnp.where(has, jnp.sum(ctr * ctr, axis=1) - rad * rad, 3.0e38)
+    bounds = jnp.concatenate([ctr, bm2[:, None]], axis=1)
+    d = jnp.linalg.norm(ctr - origin[None, :], axis=1) - rad
+    d = jnp.where(has, d, jnp.float32(3.0e38))
+    order = jnp.argsort(d).astype(jnp.int32)
+    return order, bounds[order].reshape(-1).astype(jnp.float32)
+
+
+def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
+    """Per-block bounding spheres for the stage-1 cull, visit-ordered
+    front-to-back from ``origin`` (the camera center / a ray-origin proxy).
+
+    Returns (order int32[(nb,)], bounds f32[(nb*4,)]) where bounds rows are
+    [Cx, Cy, Cz, |C|^2 - R^2] per ``blk`` table rows in VISIT order and
+    ``order[b]`` is the actual block index of visit step b (SMEM layout).
 
     R is widened (relative + absolute epsilon) so the in-kernel f32 bound
     test is conservative against rounding in both the bound roots and the
@@ -160,15 +182,13 @@ def _block_bounds(centers, radii, n_valid: int, blk: int):
     ) + r
     rad = jnp.max(jnp.where(valid, dist, 0.0), axis=1)[:, 0]
     rad = rad * 1.001 + 1.0e-3
-    bm2 = jnp.where(has, jnp.sum(ctr * ctr, axis=1) - rad * rad, 3.0e38)
-    return jnp.concatenate(
-        [ctr, bm2[:, None]], axis=1
-    ).reshape(-1).astype(jnp.float32)
+    return _order_bounds(ctr, rad, has, origin)
 
 
-def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int):
+def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int, origin):
     """Triangle analog of ``_block_bounds``: bounding sphere per stage-1
-    block over the triangles' vertices (v0, v0+e1, v0+e2)."""
+    block over the triangles' vertices (v0, v0+e1, v0+e2), visit-ordered
+    front-to-back from ``origin``."""
     p1 = v0 + e1
     p2 = v0 + e2
     tlo = jnp.minimum(jnp.minimum(v0, p1), p2)
@@ -189,10 +209,7 @@ def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int):
     )
     rad = jnp.max(jnp.where(valid, dist, 0.0), axis=1)[:, 0]
     rad = rad * 1.001 + 1.0e-3
-    bm2 = jnp.where(has, jnp.sum(ctr * ctr, axis=1) - rad * rad, 3.0e38)
-    return jnp.concatenate(
-        [ctr, bm2[:, None]], axis=1
-    ).reshape(-1).astype(jnp.float32)
+    return _order_bounds(ctr, rad, has, origin)
 
 
 def _two_level_enabled(n_pad: int) -> bool:
@@ -747,7 +764,7 @@ def _plane_table_int(int_cols, n_pad: int) -> jnp.ndarray:
 
 def _closest_sphere_two_level(
     geh_ref, gec_ref, shade_ref, rows, *, n_pad, t_sub, textured,
-    mxu_win=None, bnd_ref=None,
+    mxu_win=None, cull=None,
 ):
     """Two-level closest hit over spheres for scenes past _SWEEP_ROWS rows.
 
@@ -808,8 +825,8 @@ def _closest_sphere_two_level(
     # t_sub-tuple of per-group window minima so each block's 7 column
     # loads (dynamic-base pl.ds -> relayout to lane-replicated) are
     # issued ONCE per block instead of once per (group, block).
-    def blk_body(b, kwins):
-        base = pl.multiple_of(b * blk, blk)
+    def blk_body(bi, kwins):
+        base = pl.multiple_of(bi * blk, blk)
         cx = geh_ref[pl.ds(base, blk), 0:1]
         cy = geh_ref[pl.ds(base, blk), 1:2]
         cz = geh_ref[pl.ds(base, blk), 2:3]
@@ -837,14 +854,14 @@ def _closest_sphere_two_level(
                     key[j * _WIN : (j + 1) * _WIN], axis=0, keepdims=True
                 )
                 ki = (pltpu.bitcast(wkey, jnp.int32) & ~wmask) | (
-                    b * nwin_blk + j
+                    bi * nwin_blk + j
                 )
                 kwin_g = jnp.minimum(kwin_g, ki)
             out.append(kwin_g)
         return tuple(out)
 
     def blk_step_all(b, kwins):
-        if bnd_ref is None:
+        if cull is None:
             return blk_body(b, kwins)
         # Per-block conservative reject (bit-transparent: see
         # _cull_enabled). The block's bounding sphere [C, |C|^2 - R^2]
@@ -853,6 +870,9 @@ def _closest_sphere_two_level(
         # [nearB, farB] (R is widened at pack time for f32 margin), so
         # rejecting on "nearB strictly past the lane's current upper
         # bound" can never drop a key that would have won the min.
+        # Bounds are read in front-to-back VISIT order (b); the swept
+        # block index is ord_ref[b] (_order_bounds).
+        ord_ref, bnd_ref, act = cull
         bcx = bnd_ref[4 * b]
         bcy = bnd_ref[4 * b + 1]
         bcz = bnd_ref[4 * b + 2]
@@ -877,9 +897,15 @@ def _closest_sphere_two_level(
             passg = (far_b > ta[sl] * 0.999) & (
                 near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
             )
+            if act is not None:
+                # Lanes done with every sample keep tracing their stale
+                # last ray (regen keeps the wave shape); they must not
+                # force blocks other lanes culled.
+                passg = passg & act[sl]
             anyv = anyv | passg.astype(jnp.int32)
         return jax.lax.cond(
-            jnp.max(anyv) > 0, lambda kw: blk_body(b, kw), lambda kw: kw,
+            jnp.max(anyv) > 0,
+            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
             kwins,
         )
 
@@ -1018,7 +1044,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
 
 
 def _closest_tri_two_level(
-    tri_ref, rows, *, m_pad, t_sub, mxu_win=None, bnd_ref=None
+    tri_ref, rows, *, m_pad, t_sub, mxu_win=None, cull=None
 ):
     """Two-level Moller-Trumbore closest hit for meshes past _SWEEP_ROWS
     triangles -- the triangle analog of ``_closest_sphere_two_level``.
@@ -1109,17 +1135,19 @@ def _closest_tri_two_level(
     o_dot_o = ox_ * ox_ + oy_ * oy_ + oz_ * oz_
     ta = _T_MIN * a
 
-    def blk_step_all(bi, kwins):
-        if bnd_ref is None:
-            return blk_body(bi, kwins)
+    def blk_step_all(b, kwins):
+        if cull is None:
+            return blk_body(b, kwins)
         # Per-block conservative reject (see _closest_sphere_two_level).
         # Triangle keys are in UNSCALED t (approx-reciprocal candidates),
         # so the bound's scaled roots compare against a[sl] * cur_hi with
         # an extra relative margin covering the reciprocal's error.
-        bcx = bnd_ref[4 * bi]
-        bcy = bnd_ref[4 * bi + 1]
-        bcz = bnd_ref[4 * bi + 2]
-        bm2 = bnd_ref[4 * bi + 3]
+        # Bounds read in front-to-back VISIT order; sweep ord_ref[b].
+        ord_ref, bnd_ref, act = cull
+        bcx = bnd_ref[4 * b]
+        bcy = bnd_ref[4 * b + 1]
+        bcz = bnd_ref[4 * b + 2]
+        bm2 = bnd_ref[4 * b + 3]
         anyv = jnp.zeros((1, 128), jnp.int32)
         for g in range(t_sub):
             sl = slice(g, g + 1)
@@ -1138,9 +1166,12 @@ def _closest_tri_two_level(
             passg = (far_b > ta[sl] * 0.99) & (
                 near_b <= thr + 0.01 * jnp.abs(thr) + 1.0e-3
             )
+            if act is not None:
+                passg = passg & act[sl]
             anyv = anyv | passg.astype(jnp.int32)
         return jax.lax.cond(
-            jnp.max(anyv) > 0, lambda kw: blk_body(bi, kw), lambda kw: kw,
+            jnp.max(anyv) > 0,
+            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
             kwins,
         )
 
@@ -1351,7 +1382,7 @@ def _textured_albedo(tex, texcols, p, outward_n, base_rgb, *, t_sub):
 
 def _bounce_core(
     refs, rows, uniforms, *, n_pad, t_sub, tex=None, tris=None, mxu=None,
-    sph_bnd=None,
+    sph_cull=None,
 ):
     """One intersection + shading step for a (t_sub, 128) ray tile.
 
@@ -1387,7 +1418,7 @@ def _bounce_core(
                 geh_ref, gec_ref, shade_ref, rows,
                 n_pad=n_pad, t_sub=t_sub, textured=tex is not None,
                 mxu_win=mxu[0] if mxu is not None else None,
-                bnd_ref=sph_bnd,
+                cull=sph_cull,
             )
         )
     else:
@@ -1461,11 +1492,11 @@ def _bounce_core(
         # tri_mxu carries the window-major plane table (two-level path) or
         # the flat byte-plane table (<= _SWEEP_ROWS meshes); the static
         # _two_level_enabled branch picks the matching fetch.
-        tri_ref, m_pad, tri_mxu, tri_bnd = tris
+        tri_ref, m_pad, tri_mxu, tri_cull = tris
         if _two_level_enabled(m_pad):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
                 tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_mxu,
-                bnd_ref=tri_bnd,
+                cull=tri_cull,
             )
         else:
             kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
@@ -1656,7 +1687,8 @@ def _regen_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [mxu_ref][sph_bnd][tex_ref][tri_ref][tri_bnd] rad, stats
+    *rest,         # [mxu_ref][sph_ord sph_bnd][tex_ref][tri_ref]
+                   # [tri_ord tri_bnd] rad_ref, stats_ref
     n_pad: int,
     tile_shape: tuple[int, int],
     pixel_order: str,
@@ -1670,7 +1702,7 @@ def _regen_kernel(
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
-    sph_bnd = rest.pop(0) if sph_cull else None
+    sph_bnd = (rest.pop(0), rest.pop(0)) if sph_cull else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -1680,7 +1712,7 @@ def _regen_kernel(
     if tri_pad is not None:
         tref2 = rest.pop(0)
         tw = rest.pop(0) if tri_mxu else None
-        tbnd = rest.pop(0) if tri_cull else None
+        tbnd = (rest.pop(0), rest.pop(0)) if tri_cull else None
         tris = (tref2, tri_pad, tw, tbnd)
     rad_ref, stats_ref = rest
     spp = meta_ref[5]
@@ -1738,10 +1770,20 @@ def _regen_kernel(
         u1 = _uniform01_keyed(slot_h, sample_v, depth, 0)
         u2 = _uniform01_keyed(slot_h, sample_v, depth, 1)
         u3 = _uniform01_keyed(slot_h, sample_v, depth, 2)
+        # Cull tuples carry this iteration's active-lane mask: lanes done
+        # with every sample keep tracing a stale ray (the wave runs until
+        # ALL lanes finish) and must not force blocks others culled.
+        sc = (*sph_bnd, active) if sph_bnd is not None else None
+        trs = tris
+        if tris is not None:
+            trs = (
+                tris[0], tris[1], tris[2],
+                (*tris[3], active) if tris[3] is not None else None,
+            )
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris, mxu=mxu,
-            sph_bnd=sph_bnd,
+            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=trs, mxu=mxu,
+            sph_cull=sc,
         )
         hitm = out["hitm"]
 
@@ -1892,12 +1934,15 @@ def _render_pixels_fused(
     )
     if sph_cull:
         # Per-block bounding spheres for the stage-1 conservative reject
-        # (SMEM scalars; 4 per sweep block).
-        tex_inputs = (
-            *tex_inputs,
-            _block_bounds(geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS),
+        # (SMEM: visit order int32[nb] + 4 f32 scalars per sweep block,
+        # front-to-back from the camera center).
+        s_ord, s_bnd = _block_bounds(
+            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, center
         )
-        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        tex_inputs = (*tex_inputs, s_ord, s_bnd)
+        tex_specs = [*tex_specs] + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+        ] * 2
     tex_plane = None
     tex_mxu = False
     if scene.has_textures:
@@ -1936,14 +1981,14 @@ def _render_pixels_fused(
             and tri_pad > _tri_blk(tri_pad)
         )
         if tri_cull:
-            tex_inputs = (
-                *tex_inputs,
-                _tri_block_bounds(
-                    tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                    tri_m, _tri_blk(tri_pad),
-                ),
+            t_ord, t_bnd = _tri_block_bounds(
+                tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
+                tri_m, _tri_blk(tri_pad), center,
             )
-            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
+            tex_inputs = (*tex_inputs, t_ord, t_bnd)
+            tex_specs = [*tex_specs] + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)
+            ] * 2
 
     kernel = functools.partial(
         _regen_kernel,
@@ -2052,8 +2097,8 @@ def _trace_kernel(
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
-    *rest,         # [mxu_ref][sph_bnd][tex_ref][tri_ref][tri_bnd] rays,
-                   # rad_ref, stats_ref
+    *rest,         # [mxu_ref][sph_ord sph_bnd][tex_ref][tri_ref]
+                   # [tri_ord tri_bnd] rays_ref, rad_ref, stats_ref
     n_pad: int,
     max_depth: int,
     tile_shape: tuple[int, int],
@@ -2067,7 +2112,7 @@ def _trace_kernel(
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
-    sph_bnd = rest.pop(0) if sph_cull else None
+    sph_bnd = (rest.pop(0), rest.pop(0)) if sph_cull else None
     tex = None
     if tex_plane is not None:
         tref = rest.pop(0)
@@ -2077,7 +2122,7 @@ def _trace_kernel(
     if tri_pad is not None:
         tref2 = rest.pop(0)
         tw = rest.pop(0) if tri_mxu else None
-        tbnd = rest.pop(0) if tri_cull else None
+        tbnd = (rest.pop(0), rest.pop(0)) if tri_cull else None
         tris = (tref2, tri_pad, tw, tbnd)
     rays_ref, rad_ref, stats_ref = rest
     seed = meta_ref[1]
@@ -2117,10 +2162,20 @@ def _trace_kernel(
         u2 = _uniform01_from(lane_h, s, 1)
         u3 = _uniform01_from(lane_h, s, 2)
 
+        # Dead lanes (alive_f 0) idle until the whole tile finishes; mask
+        # them out of the cull so they can't force blocks (stale rays).
+        act = alive_f > 0.5
+        sc = (*sph_bnd, act) if sph_bnd is not None else None
+        trs = tris
+        if tris is not None:
+            trs = (
+                tris[0], tris[1], tris[2],
+                (*tris[3], act) if tris[3] is not None else None,
+            )
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
-            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=tris, mxu=mxu,
-            sph_bnd=sph_bnd,
+            n_pad=n_pad, t_sub=t_sub, tex=tex, tris=trs, mxu=mxu,
+            sph_cull=sc,
         )
         hitm = out["hitm"]
         hit_f = jnp.where(hitm, 1.0, 0.0)
@@ -2221,12 +2276,16 @@ def trace_rays_fused(
     )
     if sph_cull:
         # Per-block bounding spheres for the stage-1 conservative reject
-        # (SMEM scalars; 4 per sweep block).
-        tex_inputs = (
-            *tex_inputs,
-            _block_bounds(geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS),
+        # (SMEM: visit order + 4 f32 per sweep block; the mean ray origin
+        # stands in for the camera center as the front-to-back proxy).
+        s_ord, s_bnd = _block_bounds(
+            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS,
+            jnp.mean(origins, axis=0),
         )
-        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        tex_inputs = (*tex_inputs, s_ord, s_bnd)
+        tex_specs = [*tex_specs] + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+        ] * 2
     tex_plane = None
     tex_mxu = False
     if scene.has_textures:
@@ -2265,14 +2324,14 @@ def trace_rays_fused(
             and tri_pad > _tri_blk(tri_pad)
         )
         if tri_cull:
-            tex_inputs = (
-                *tex_inputs,
-                _tri_block_bounds(
-                    tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                    tri_m, _tri_blk(tri_pad),
-                ),
+            t_ord, t_bnd = _tri_block_bounds(
+                tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
+                tri_m, _tri_blk(tri_pad), jnp.mean(origins, axis=0),
             )
-            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.SMEM)]
+            tex_inputs = (*tex_inputs, t_ord, t_bnd)
+            tex_specs = [*tex_specs] + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)
+            ] * 2
 
     kernel = functools.partial(
         _trace_kernel,
