@@ -70,7 +70,14 @@ def main() -> int:
     _, scene = rt.build_world(dataclasses.replace(world, camera=params))
     renderer = rt.Renderer(scene, params, seed=0, backend=args.backend)
     if args.max_inflight is None:
-        frame_bytes = params.image_width * params.image_height * 3
+        # What is FETCHED per frame decides pipelining: full frames only
+        # when recording (--out-dir); otherwise the tiny device-side
+        # preview, which overlaps dispatch safely at any image size.
+        frame_bytes = (
+            params.image_width * params.image_height * 3
+            if args.out_dir
+            else 240 * 136 * 3
+        )
         args.max_inflight = 3 if frame_bytes < 500_000 else 0
     # Pipeline depth is chosen adaptively: frames 1-3 run serialized to
     # calibrate a reference frame time, then the pipeline opens up to
@@ -142,11 +149,25 @@ def main() -> int:
 
             t0 = time.perf_counter()
             # One fused dispatch per frame, no sync; readback + IO happen on
-            # the emit worker thread while the device traces ahead.
-            dev = renderer.render_frame(spp=args.spp)
-            pending.append(
-                emit_pool.submit(lambda i=i, d=dev: emit(i, renderer.fetch_image(d)))
-            )
+            # the emit worker thread while the device traces ahead. When not
+            # recording full frames, only a device-downsampled preview is
+            # fetched per frame (tens of KB): the full-frame fetch is what
+            # caps large frames at ~5 fps (~1 MB over the tunnel cannot
+            # overlap the next dispatch -- renderer._frame_preview_step).
+            if args.out_dir:
+                dev = renderer.render_frame(spp=args.spp)
+                pending.append(
+                    emit_pool.submit(
+                        lambda i=i, d=dev: emit(i, renderer.fetch_image(d))
+                    )
+                )
+            else:
+                _, prev = renderer.render_frame_preview(spp=args.spp)
+                pending.append(
+                    emit_pool.submit(
+                        lambda i=i, p=prev: emit(i, np.asarray(p))
+                    )
+                )
             while len(pending) > inflight:
                 pending.pop(0).result()
             dt = time.perf_counter() - t0

@@ -260,6 +260,57 @@ def _frame_step(
     return rcolor.rgb_to_u8(rad_sum * inv), segments
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_slots", "pixel_order", "height", "width", "ph", "pw",
+        "interpret",
+    ),
+)
+def _frame_preview_step(
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    map_param: jnp.ndarray,
+    pallas_seed: jnp.ndarray,
+    sample_start: jnp.ndarray,
+    spp: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    num_slots: int,
+    pixel_order: str,
+    height: int,
+    width: int,
+    ph: int,
+    pw: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``_frame_step`` plus a DEVICE-side (ph, pw) box-downsampled preview.
+
+    The interactive bottleneck at large frames is the device->host fetch:
+    the remote-TPU tunnel moves ~1 MB in ~60-110 ms and a CONCURRENT
+    full-frame readback collapses the dispatch pipeline (CLAUDE.md). A
+    live display only needs terminal-cell resolution, so the slot->pixel
+    reorder + box filter run on device and the per-frame fetch drops to
+    tens of KB (which DOES overlap dispatch safely). Returns
+    (u8 slots, u8 preview [ph, pw, 3], segments); fetch the full slots
+    only when recording.
+    """
+    u8, segments = _frame_step(
+        scene, cam, map_param, pallas_seed, sample_start, spp, max_depth,
+        num_slots, pixel_order, interpret,
+    )
+    num_pixels = height * width
+    ids = jnp.minimum(slot_ids, num_pixels)  # padded slots -> spill row
+    fb = jnp.zeros((num_pixels + 1, 3), jnp.uint8).at[ids].set(u8)
+    img = fb[:-1].reshape(height, width, 3)
+    fy = max(height // ph, 1)
+    fx = max(width // pw, 1)
+    ch, cw = ph * fy, pw * fx
+    crop = img[:ch, :cw].astype(jnp.float32)
+    ds = crop.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
+    return u8, (ds + 0.5).astype(jnp.uint8), segments
+
+
 def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) -> jnp.ndarray:
     mean = image_sum[:-1] * jnp.float32(inv_samples)
     return rcolor.rgb_to_u8(mean).reshape(height, width, 3)
@@ -682,6 +733,54 @@ class Renderer:
         # the interactive path must not block the dispatch pipeline).
         self._pending_segments.append(segments)
         return dev
+
+    def render_frame_preview(
+        self,
+        spp: int | None = None,
+        max_depth: int | None = None,
+        preview_cols: int = 240,
+        preview_rows: int = 136,
+    ):
+        """``render_frame`` variant that also returns a small DEVICE-side
+        downsampled preview: ``(dev_slots, dev_preview)``. Fetch the tiny
+        preview per frame for a live display (tens of KB overlaps the next
+        dispatch safely on the remote tunnel; a full-frame fetch does not
+        -- see _frame_preview_step); fetch the full slots only for frames
+        being recorded."""
+        if self.backend != "pallas":
+            raise ValueError("render_frame requires the pallas backend")
+        if self.mesh is not None:
+            raise ValueError("render_frame is single-chip; use render()")
+        spp = int(spp if spp is not None else self.params.samples_per_pixel)
+        max_depth = int(
+            max_depth if max_depth is not None else self.params.max_depth
+        )
+        cam = self.camera
+        slots = rtiling.num_slots(cam.image_width, cam.image_height)
+        self._slot_ids = rtiling.tiled_pixel_ids(
+            cam.image_width, cam.image_height
+        )
+        dev, prev, segments = _frame_preview_step(
+            self.scene,
+            cam,
+            jnp.int32(rtiling.tiles_per_row(cam.image_width)),
+            jnp.int32(self.seed & 0x7FFFFFFF),
+            jnp.int32(self._frame_sample_base),
+            jnp.int32(spp),
+            jnp.int32(max_depth),
+            jnp.asarray(self._slot_ids, jnp.int32),
+            slots,
+            "tiled",
+            cam.image_height,
+            cam.image_width,
+            min(int(preview_rows), cam.image_height),
+            min(int(preview_cols), cam.image_width),
+            self._pallas_interpret,
+        )
+        self._frame_sample_base += spp
+        self._tiles_counter += slots // DEFAULT_TILE_RAYS
+        self._pending_segments.append(segments)
+        return dev, prev
 
     def fetch_image(self, u8_dev) -> np.ndarray:
         """Device u8 array from ``render(as_device_array=True)`` -> host
