@@ -78,7 +78,9 @@ def _knob(name: str, default: str) -> str:
       RT_WIN            two-level stage-2 window (default 128; power of two
                         in [8, RT_SWEEP_ROWS])
       RT_TWO_LEVEL_MIN  row threshold enabling the two-level closest hit
-                        (default RT_SWEEP_ROWS + 1; huge value disables)
+                        (defaults: spheres 16 * RT_SWEEP_ROWS, triangles
+                        RT_SWEEP_ROWS + 1 -- see _two_level_enabled; a
+                        huge value disables)
       RT_GATHER         'mxu' (default) | 'radix' winner-fetch backend
       RT_TWO_LEVEL_MXU  '1' (default) | '0' stage-2 window fetch on the MXU
       RT_CULL           '1' (default) | '0' per-block conservative reject
@@ -212,13 +214,30 @@ def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int, origin):
     return _order_bounds(ctr, rad, has, origin)
 
 
-def _two_level_enabled(n_pad: int) -> bool:
+def _two_level_enabled(n_pad: int, tri: bool = False) -> bool:
     """Static (trace-time) switch for the two-level closest hit.
 
-    Defaults to scenes padded past _SWEEP_ROWS. RT_TWO_LEVEL_MIN overrides
-    the threshold (row count; large value disables) for A/B benchmarking.
+    Sphere default: tables of 16 * _SWEEP_ROWS rows (8192) and past. The
+    round-3 threshold A/B (1080p@16spp d8, back-to-back pairs; BASELINE.md)
+    measured the FLAT block-major sweep + flat MXU winner fetch + per-block
+    cull faster at every size up to 4096 rows -- 1024: 45.6 vs 31.6
+    Mrays/s; 2048: 26.1 vs 21.3; 4096: 15.0 vs 13.4 -- and a noise-level
+    tie at 8192 (flat 8.0 vs 7.7, flat's best-of-3 spread reaching down to
+    4.8). 8192+ stays two-level: the flat one-hot winner fetch contracts
+    over the FULL n_pad-wide plane table per bounce, so its cost keeps
+    growing with N while the two-level fetch touches one collapsed window.
+
+    Triangle default (``tri=True``): past _SWEEP_ROWS. The flat
+    Moller-Trumbore block body at 512 rows x 8 ray groups exceeds the
+    16 MB scoped-vmem limit (measured 18.6 MB in round 2 -- the reason
+    triangle stage 1 runs 256-row blocks), so large flat meshes are not
+    viable and the two-level path takes over as soon as blocks multiply.
+
+    RT_TWO_LEVEL_MIN overrides both thresholds (row count; large value
+    disables) for A/B benchmarking.
     """
-    min_rows = int(_knob("RT_TWO_LEVEL_MIN", str(_SWEEP_ROWS + 1)))
+    default = _SWEEP_ROWS + 1 if tri else 16 * _SWEEP_ROWS
+    min_rows = int(_knob("RT_TWO_LEVEL_MIN", str(default)))
     # The structure needs >= 2 windows; below that stage 1 is degenerate.
     return n_pad >= max(min_rows, 2 * _WIN)
 
@@ -323,7 +342,7 @@ def _interp(flag: bool):
 # ---------------------------------------------------------------------------
 
 
-def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
+def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
     """Closest-hit over all spheres for a full (t_sub, 128) ray tile.
 
     Pure VPU broadcast arithmetic: each inner step tests a sphere-block
@@ -333,6 +352,12 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
     inner products as MXU matmuls was measured SLOWER -- Mosaic pads tiny-K
     matmuls -- so the sweep stays on the VPU.) Padding rows carry
     cq = +1e30 so their discriminant is always negative: no validity mask.
+
+    ``cull``: optional (ord_ref, bnd_ref, act) per-block conservative
+    reject, identical to _closest_sphere_two_level's (front-to-back visit
+    order, bit-transparent skips) -- used by multi-block FLAT sweeps now
+    that the flat path is preferred up to 2048 rows (threshold A/B,
+    BASELINE.md round 3).
 
     Returns ``kmin i32 (t_sub, 128)``: bits of the winning (quantized)
     near-root with the sphere id packed in the low ``_pack_bits`` bits
@@ -354,7 +379,7 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
     # t_sub ray groups (Mosaic does not CSE per-group re-loads; see the
     # two-level stage-1 note -- same restructure, measured +68% on
     # stress scenes there).
-    def blk_step_all(b, kmins):
+    def blk_body(b, kmins):
         base = pl.multiple_of(b * blk, blk)
         cx = geh_ref[pl.ds(base, blk), 0:1]
         cy = geh_ref[pl.ds(base, blk), 1:2]
@@ -393,16 +418,49 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub):
             )
         return tuple(out)
 
+    def blk_step_all(b, kmins):
+        if cull is None:
+            return blk_body(b, kmins)
+        # Per-block conservative reject (see _closest_sphere_two_level;
+        # the flat key's low pack_mask bits are sphere ids, so |pack_mask
+        # gives the same >= upper bound on the winning scaled root).
+        ord_ref, bnd_ref, act = cull
+        bcx = bnd_ref[4 * b]
+        bcy = bnd_ref[4 * b + 1]
+        bcz = bnd_ref[4 * b + 2]
+        bm2 = bnd_ref[4 * b + 3]
+        anyv = jnp.zeros((1, 128), jnp.int32)
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
+            cq_b = (
+                bm2
+                - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
+                + o_dot_o[sl]
+            )
+            delta_b = h_b * h_b - a[sl] * cq_b
+            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
+            near_b = h_b - sq_b
+            far_b = h_b + sq_b
+            cur_hi = pltpu.bitcast(kmins[g] | pack_mask, jnp.float32)
+            passg = (far_b > ta[sl] * 0.999) & (
+                near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
+            )
+            if act is not None:
+                passg = passg & act[sl]
+            anyv = anyv | passg.astype(jnp.int32)
+        return jax.lax.cond(
+            jnp.max(anyv) > 0,
+            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
+            kmins,
+        )
+
     init = tuple(nohit for _ in range(t_sub))
     if n_blocks == 1:
-        kmins = blk_step_all(0, init)
+        kmins = blk_body(0, init)
     else:
         # fori_loop (not unrolled python) so Mosaic's stack allocator
         # reuses one block's intermediates instead of summing them all.
-        # (A per-window bounding-sphere cull was tried here and measured
-        # NEUTRAL-to-negative on stress scenes: group-coherent bounds
-        # over 512 Morton rows are too coarse to reject -- one window
-        # holding the radius-1000 ground sphere covers every ray.)
         kmins = jax.lax.fori_loop(0, n_blocks, blk_step_all, init)
     return jnp.concatenate(list(kmins), axis=0)
 
@@ -659,11 +717,11 @@ def _mxu_gather_cols(n_pad: int, textured: bool) -> int:
     return 10 if textured else 6
 
 
-def _two_level_mxu(n_pad: int) -> bool:
+def _two_level_mxu(n_pad: int, tri: bool = False) -> bool:
     """Static switch: two-level stage-2 window fetch on the MXU (one-hot
     over windows; default ON, RT_TWO_LEVEL_MXU=0 opts out). Bit-exact vs
     the fori collapse on CPU interpret AND hardware (image-hash A/B)."""
-    if not (_mxu_enabled() and _two_level_enabled(n_pad)):
+    if not (_mxu_enabled() and _two_level_enabled(n_pad, tri)):
         return False
     return _knob("RT_TWO_LEVEL_MXU", "1") != "0"
 
@@ -973,7 +1031,7 @@ def _closest_sphere_two_level(
     return hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols
 
 
-def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
+def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
     """Closest-hit Moller-Trumbore over all triangles for a (t_sub, 128)
     ray tile -- the triangle analog of ``_sweep``.
 
@@ -981,6 +1039,9 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
     key's t uses a fast approximate reciprocal (the key is already quantized
     by the id bits; the winner's exact t is recomputed in ``_tri_winner``).
     Padding rows have e1 = e2 = 0 => det = 0 => never valid.
+
+    ``cull``: optional (ord_ref, bnd_ref, act) per-block conservative
+    reject (see _closest_tri_two_level) for multi-block flat sweeps.
 
     Returns packed i32 keys (t bits | triangle id), ``_BIGF`` based on miss.
     """
@@ -993,7 +1054,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
 
     # Block-major: load each block's 9 columns once for all ray groups
     # (see _sweep).
-    def blk_step_all(bi, kmins):
+    def blk_body(bi, kmins):
         base = pl.multiple_of(bi * blk, blk)
         cols9 = [tri_ref[pl.ds(base, blk), j : j + 1] for j in range(9)]
         v0x, v0y, v0z = cols9[0], cols9[1], cols9[2]
@@ -1035,9 +1096,53 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub):
             )
         return tuple(out)
 
+    a = dx * dx + dy * dy + dz * dz
+    d_dot_o = dx * ox + dy * oy + dz * oz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+    ta = _T_MIN * a
+
+    def blk_step_all(b, kmins):
+        if cull is None:
+            return blk_body(b, kmins)
+        # Per-block conservative reject; triangle keys are UNSCALED t so
+        # the bound's scaled roots compare against a * cur_hi with a
+        # relative margin covering the approx-reciprocal key error (see
+        # _closest_tri_two_level's blk_step_all).
+        ord_ref, bnd_ref, act = cull
+        bcx = bnd_ref[4 * b]
+        bcy = bnd_ref[4 * b + 1]
+        bcz = bnd_ref[4 * b + 2]
+        bm2 = bnd_ref[4 * b + 3]
+        anyv = jnp.zeros((1, 128), jnp.int32)
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
+            cq_b = (
+                bm2
+                - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
+                + o_dot_o[sl]
+            )
+            delta_b = h_b * h_b - a[sl] * cq_b
+            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
+            near_b = h_b - sq_b
+            far_b = h_b + sq_b
+            cur_hi = pltpu.bitcast(kmins[g] | pack_mask, jnp.float32)
+            thr = a[sl] * cur_hi
+            passg = (far_b > ta[sl] * 0.99) & (
+                near_b <= thr + 0.01 * jnp.abs(thr) + 1.0e-3
+            )
+            if act is not None:
+                passg = passg & act[sl]
+            anyv = anyv | passg.astype(jnp.int32)
+        return jax.lax.cond(
+            jnp.max(anyv) > 0,
+            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
+            kmins,
+        )
+
     init = tuple(nohit for _ in range(t_sub))
     if n_blocks == 1:
-        kmins = blk_step_all(0, init)
+        kmins = blk_body(0, init)
     else:
         kmins = jax.lax.fori_loop(0, n_blocks, blk_step_all, init)
     return jnp.concatenate(list(kmins), axis=0)
@@ -1423,7 +1528,9 @@ def _bounce_core(
         )
     else:
         pack_mask = (1 << _pack_bits(n_pad)) - 1
-        kmin = _sweep(geh_ref, gec_ref, rows, n_pad=n_pad, t_sub=t_sub)
+        kmin = _sweep(
+            geh_ref, gec_ref, rows, n_pad=n_pad, t_sub=t_sub, cull=sph_cull
+        )
         nohit_key = _f32_bits(_BIGF) & ~pack_mask
         hitm = kmin < nohit_key
         imin = kmin & pack_mask
@@ -1493,13 +1600,15 @@ def _bounce_core(
         # the flat byte-plane table (<= _SWEEP_ROWS meshes); the static
         # _two_level_enabled branch picks the matching fetch.
         tri_ref, m_pad, tri_mxu, tri_cull = tris
-        if _two_level_enabled(m_pad):
+        if _two_level_enabled(m_pad, tri=True):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
                 tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_mxu,
                 cull=tri_cull,
             )
         else:
-            kmin_t = _tri_sweep(tri_ref, rows, m_pad=m_pad, t_sub=t_sub)
+            kmin_t = _tri_sweep(
+                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, cull=tri_cull
+            )
             hit_t, t_t, tp, tn, ta, tparam = _tri_winner(
                 tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub,
                 mxu_ref=tri_mxu,
@@ -1929,9 +2038,7 @@ def _render_pixels_fused(
         mxu_cols = 11 if scene.has_textures else 7
         tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    sph_cull = (
-        _cull_enabled() and _two_level_enabled(n_pad) and n_pad > _SWEEP_ROWS
-    )
+    sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
     if sph_cull:
         # Per-block bounding spheres for the stage-1 conservative reject
         # (SMEM: visit order int32[nb] + 4 f32 scalars per sweep block,
@@ -1964,26 +2071,27 @@ def _render_pixels_fused(
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        if _two_level_mxu(tri_pad):
+        if _two_level_mxu(tri_pad, tri=True):
             # Stage-2 window fetch table (two-level meshes).
             tri_mxu = True
             tri_planes = pack_triangles(scene, with_win_planes=True)[2]
-        elif _mxu_enabled() and not _two_level_enabled(tri_pad):
+        elif _mxu_enabled() and not _two_level_enabled(tri_pad, tri=True):
             # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
             tri_mxu = True
             tri_planes = pack_triangles(scene, with_planes=True)[2]
         if tri_mxu:
             tex_inputs = (*tex_inputs, tri_planes)
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tri_cull = (
-            _cull_enabled()
-            and _two_level_enabled(tri_pad)
-            and tri_pad > _tri_blk(tri_pad)
+        tri_blk_rows = (
+            _tri_blk(tri_pad)
+            if _two_level_enabled(tri_pad, tri=True)
+            else min(tri_pad, _SWEEP_ROWS)
         )
+        tri_cull = _cull_enabled() and tri_pad > tri_blk_rows
         if tri_cull:
             t_ord, t_bnd = _tri_block_bounds(
                 tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                tri_m, _tri_blk(tri_pad), center,
+                tri_m, tri_blk_rows, center,
             )
             tex_inputs = (*tex_inputs, t_ord, t_bnd)
             tex_specs = [*tex_specs] + [
@@ -2271,9 +2379,7 @@ def trace_rays_fused(
         mxu_cols = 11 if scene.has_textures else 7
         tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
         tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    sph_cull = (
-        _cull_enabled() and _two_level_enabled(n_pad) and n_pad > _SWEEP_ROWS
-    )
+    sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
     if sph_cull:
         # Per-block bounding spheres for the stage-1 conservative reject
         # (SMEM: visit order + 4 f32 per sweep block; the mean ray origin
@@ -2307,26 +2413,27 @@ def trace_rays_fused(
         tri_pad = tri_table.shape[0]
         tex_inputs = (*tex_inputs, tri_table)
         tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        if _two_level_mxu(tri_pad):
+        if _two_level_mxu(tri_pad, tri=True):
             # Stage-2 window fetch table (two-level meshes).
             tri_mxu = True
             tri_planes = pack_triangles(scene, with_win_planes=True)[2]
-        elif _mxu_enabled() and not _two_level_enabled(tri_pad):
+        elif _mxu_enabled() and not _two_level_enabled(tri_pad, tri=True):
             # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
             tri_mxu = True
             tri_planes = pack_triangles(scene, with_planes=True)[2]
         if tri_mxu:
             tex_inputs = (*tex_inputs, tri_planes)
             tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tri_cull = (
-            _cull_enabled()
-            and _two_level_enabled(tri_pad)
-            and tri_pad > _tri_blk(tri_pad)
+        tri_blk_rows = (
+            _tri_blk(tri_pad)
+            if _two_level_enabled(tri_pad, tri=True)
+            else min(tri_pad, _SWEEP_ROWS)
         )
+        tri_cull = _cull_enabled() and tri_pad > tri_blk_rows
         if tri_cull:
             t_ord, t_bnd = _tri_block_bounds(
                 tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                tri_m, _tri_blk(tri_pad), jnp.mean(origins, axis=0),
+                tri_m, tri_blk_rows, jnp.mean(origins, axis=0),
             )
             tex_inputs = (*tex_inputs, t_ord, t_bnd)
             tex_specs = [*tex_specs] + [

@@ -95,10 +95,13 @@ def test_scene_larger_than_one_sphere_block():
     np.testing.assert_allclose(rad_p, np.asarray(rad_x), atol=2e-4, rtol=1e-3)
 
 
-def test_scene_larger_than_sweep_window():
-    """> 512 spheres (n_pad 1024) exercises the block-wise sweep AND the
-    gather's window-collapse select chain; must still match XLA exactly on
-    a deterministic all-metal scene."""
+@pytest.mark.parametrize("two_level", [False, True])
+def test_scene_larger_than_sweep_window(monkeypatch, two_level):
+    """> 512 spheres (n_pad 1024) exercises the multi-block sweep + cull;
+    must still match XLA exactly on a deterministic all-metal scene. The
+    default path at 1024 rows is FLAT (threshold 4096 since round 3);
+    two_level=True forces the two-level path via RT_TWO_LEVEL_MIN so its
+    parity stays covered off the default."""
     rng = np.random.default_rng(12)
     b = SceneBuilder()
     for _ in range(600):
@@ -109,8 +112,15 @@ def test_scene_larger_than_sweep_window():
     keys = _keys(n, seed=9)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
-    rad_p, seg_p = _run_fused(scene, o, d, 3)
-    rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 3)
+    if two_level:
+        monkeypatch.setenv("RT_TWO_LEVEL_MIN", "513")
+        jax.clear_caches()
+    try:
+        rad_p, seg_p = _run_fused(scene, o, d, 3)
+        rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 3)
+    finally:
+        if two_level:
+            jax.clear_caches()
     assert seg_p == int(seg_x)
     # With 600 OVERLAPPING spheres a handful of rays hit near-coincident
     # surfaces where the packed-key argmin (root quantized by the id bits)
@@ -416,13 +426,17 @@ def test_mxu_gather_matches_radix_bitexact():
     )
 
 
-def test_sphere_cull_bit_transparent(monkeypatch):
-    """The per-block conservative reject in the two-level stage-1 sweep
-    (round 3, RT_CULL) must be BIT-transparent: a block is skipped only
-    when no lane can beat its current upper bound inside the block's
+@pytest.mark.parametrize("two_level", [False, True])
+def test_sphere_cull_bit_transparent(monkeypatch, two_level):
+    """The per-block conservative reject in the multi-block stage-1
+    sweeps (round 3, RT_CULL) must be BIT-transparent: a block is skipped
+    only when no lane can beat its current upper bound inside the block's
     widened bounding sphere, so radiance with culling on vs off must be
-    identical to the last bit. 600 spheres -> n_pad 1024 = 2 sweep blocks
-    (two-level + cull active)."""
+    identical to the last bit. 600 spheres -> n_pad 1024 = 2 sweep
+    blocks; the default path at 1024 rows is the FLAT block-major sweep
+    (two-level starts at 4096 since the round-3 threshold A/B), so the
+    two_level=True case forces the two-level path via RT_TWO_LEVEL_MIN to
+    keep its cull covered too."""
     rng = np.random.default_rng(12)
     b = SceneBuilder()
     for _ in range(600):
@@ -433,10 +447,13 @@ def test_sphere_cull_bit_transparent(monkeypatch):
     keys = _keys(n, seed=9)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
-    rad_cull, seg_cull = _run_fused(scene, o, d, 3)
-    monkeypatch.setenv("RT_CULL", "0")
-    jax.clear_caches()
+    if two_level:
+        monkeypatch.setenv("RT_TWO_LEVEL_MIN", "513")
+        jax.clear_caches()
     try:
+        rad_cull, seg_cull = _run_fused(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
         rad_ref, seg_ref = _run_fused(scene, o, d, 3)
     finally:
         jax.clear_caches()
