@@ -27,12 +27,18 @@ radiance is a pure function of (seed, global ray id) -- independent of batch
 chunking, sharding, or device count.
 
 Performance policy: this backend is the PORTABLE path (CPU tests, oracle
-comparisons, sharding semantics). On TPU it measures ~45x over its flop bound
-(profiled round 1; cause undetermined -- suspects are (B, N) layout churn and
-HIGHEST-precision small-K dots) and ``Renderer(backend="auto")`` therefore
-selects the pallas megakernel on tpu/axon platforms. Do not use ``"xla"`` on
-TPU for performance work without re-profiling (see CLAUDE.md "Known weak
-spots").
+comparisons, sharding semantics). On TPU it runs AT its XLA roofline
+(round-3 profiling, ``scripts/probe_xla_wavefront.py``: intersect_scene
+device compute 13.3 ms per 0.5M rays at N=488 = the two materialized
+(B, N) einsums + one fused VPU quadratic pass; the round-1 "45x over flop
+bound" was tunnel dispatch/fetch overhead misattributed to compute). Its
+remaining ~15x gap vs the pallas megakernel is STRUCTURAL: every
+``while_loop`` iteration processes the full batch width even though most
+rays are dead (4.2M slots worked for 1.95M useful segments at depth 8),
+which is precisely the cost the megakernel's in-kernel path regeneration
+removes. ``Renderer(backend="auto")`` therefore selects pallas on
+tpu/axon platforms; there is nothing left to optimize here short of
+rebuilding the megakernel's compaction, which already exists.
 """
 
 from __future__ import annotations
