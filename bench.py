@@ -28,8 +28,38 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
+
+# The tunnel to the remote TPU occasionally HANGS outright (a dispatch or
+# fetch that never returns -- CLAUDE.md environment notes). A hung repeat
+# must not swallow measurements that already completed: each render runs in
+# a daemon worker thread with a deadline, and on a hang the bench reports
+# the best completed run (or exits nonzero if nothing completed).
+_WARMUP_DEADLINE_S = 2700.0   # fresh Mosaic compiles take up to ~25 min
+_FIRST_RUN_DEADLINE_S = 1800.0
+
+
+def _run_with_deadline(fn, deadline_s):
+    """Run ``fn()`` in a daemon thread; return its result or None on hang."""
+    box: dict = {}
+
+    def work():
+        try:
+            box["out"] = fn()
+        except BaseException as e:  # pragma: no cover - surfaced below
+            box["err"] = e
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(deadline_s)
+    if th.is_alive():
+        return None
+    if "err" in box:
+        raise box["err"]
+    return box.get("out", True)
 
 
 def main() -> None:
@@ -121,18 +151,38 @@ def main() -> None:
         rkw["max_rays_per_batch"] = args.max_rays_per_batch
     renderer = rt.Renderer(scene, params, seed=args.seed, **rkw)
     # Warmup: compile every wave shape once.
-    renderer.render(spp=args.warmup_spp)
+    if _run_with_deadline(
+        lambda: renderer.render(spp=args.warmup_spp), _WARMUP_DEADLINE_S
+    ) is None:
+        print("bench: warmup hung past deadline (tunnel down)",
+              file=sys.stderr)
+        os._exit(1)
 
     # Best of N seed-varied warm runs (min wall == least tunnel contention;
     # distinct seeds defeat the tunnel's identical-execution dedupe).
     runs = []
+    hung = 0
     for rep in range(max(args.repeats, 1)):
         renderer = rt.Renderer(scene, params, seed=args.seed + rep, **rkw)
+        deadline = (
+            max(120.0, 10.0 * runs[0][1]) if runs else _FIRST_RUN_DEADLINE_S
+        )
         t0 = time.perf_counter()
-        renderer.render(spp=args.spp)
+        done = _run_with_deadline(
+            lambda r=renderer: r.render(spp=args.spp), deadline
+        )
+        if done is None:
+            # A stuck dispatch poisons the runtime for later repeats too --
+            # stop here and report whatever completed.
+            hung = max(args.repeats, 1) - rep
+            break
         wall = time.perf_counter() - t0
         runs.append((renderer.segments_traced / wall / 1.0e6, wall,
                      renderer.segments_traced))
+    if not runs:
+        print("bench: every timed run hung past deadline (tunnel down)",
+              file=sys.stderr)
+        os._exit(1)
     mrays, wall, segments = max(runs)
 
     target = 500.0  # Mrays/s/chip north star (BASELINE.json)
@@ -156,6 +206,7 @@ def main() -> None:
                 "wall_s": round(wall, 3),
                 "segments": segments,
                 "spread": [round(r[0], 1) for r in runs],
+                **({"hung_runs": hung} if hung else {}),
                 "config": (
                     f"{params.image_width}x{params.image_height}@{args.spp}"
                     f"spp depth{args.depth} {scene.num_objects} spheres"
@@ -168,6 +219,11 @@ def main() -> None:
             }
         )
     )
+    if hung:
+        # A worker is still stuck inside the runtime; skip normal teardown
+        # (its atexit hooks can block on the wedged dispatch).
+        sys.stdout.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
