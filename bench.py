@@ -43,12 +43,15 @@ _FIRST_RUN_DEADLINE_S = 1800.0
 
 
 def _run_with_deadline(fn, deadline_s):
-    """Run ``fn()`` in a daemon thread; return its result or None on hang."""
+    """Run ``fn()`` in a daemon thread. True on completion (the callers
+    only need a completed/hung signal, and a fn returning None must not
+    look like a hang), None on hang; exceptions propagate."""
     box: dict = {}
 
     def work():
         try:
-            box["out"] = fn()
+            fn()
+            box["out"] = True
         except BaseException as e:  # pragma: no cover - surfaced below
             box["err"] = e
 
@@ -59,7 +62,7 @@ def _run_with_deadline(fn, deadline_s):
         return None
     if "err" in box:
         raise box["err"]
-    return box.get("out", True)
+    return True
 
 
 def main() -> None:
