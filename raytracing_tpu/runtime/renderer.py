@@ -303,11 +303,19 @@ def _frame_preview_step(
     ids = jnp.minimum(slot_ids, num_pixels)  # padded slots -> spill row
     fb = jnp.zeros((num_pixels + 1, 3), jnp.uint8).at[ids].set(u8)
     img = fb[:-1].reshape(height, width, 3)
-    fy = max(height // ph, 1)
-    fx = max(width // pw, 1)
+    # Ceil box factors + edge padding so the preview covers the WHOLE
+    # frame (floor factors + crop silently dropped the right/bottom edge
+    # whenever the frame is not a multiple of the preview size -- at
+    # 800x470 with a 240x136 preview that cut 62 rows and 80 columns).
+    # The caller shrinks (ph, pw) to ceil(h/fy) x ceil(w/fx) so at most
+    # fy-1 / fx-1 replicated edge rows/cols enter the last preview cell.
+    fy = -(-height // ph)
+    fx = -(-width // pw)
     ch, cw = ph * fy, pw * fx
-    crop = img[:ch, :cw].astype(jnp.float32)
-    ds = crop.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
+    padded = jnp.pad(
+        img, ((0, ch - height), (0, cw - width), (0, 0)), mode="edge"
+    ).astype(jnp.float32)
+    ds = padded.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
     return u8, (ds + 0.5).astype(jnp.uint8), segments
 
 
@@ -694,16 +702,19 @@ class Renderer:
             return image_u8_dev
         return image_np
 
-    def render_frame(self, spp: int | None = None, max_depth: int | None = None):
-        """Interactive path: one fused dispatch per frame, returning the
-        DEVICE u8 image (slot order) without sync -- pair with
-        ``fetch_image``. Uses the pallas backend's tiled slot order; advances
-        the absolute sample base so consecutive frames draw fresh samples."""
+    def _frame_setup(self, spp, max_depth, what: str):
+        """Shared render_frame/render_frame_preview prologue: validate,
+        resolve (spp, max_depth), and refresh the per-resolution slot-id
+        cache. The slot table is CONSTANT for a camera resolution, so it
+        is built (and uploaded, for the preview step) once per (W, H)
+        instead of per frame -- a per-frame jnp.asarray upload is ~1.6 MB
+        at 800x470, exactly the payload class whose concurrent transfer
+        collapses the tunnel's dispatch pipeline (CLAUDE.md)."""
         if self.backend != "pallas":
-            raise ValueError("render_frame requires the pallas backend")
+            raise ValueError(f"{what} requires the pallas backend")
         if self.mesh is not None:
             raise ValueError(
-                "render_frame is single-chip (it bypasses the mesh); use "
+                f"{what} is single-chip (it bypasses the mesh); use "
                 "render() for sharded rendering"
             )
         spp = int(spp if spp is not None else self.params.samples_per_pixel)
@@ -711,10 +722,30 @@ class Renderer:
             max_depth if max_depth is not None else self.params.max_depth
         )
         cam = self.camera
+        wh = (cam.image_width, cam.image_height)
+        if getattr(self, "_frame_ids_wh", None) != wh:
+            self._frame_ids_wh = wh
+            self._frame_ids_host = rtiling.tiled_pixel_ids(*wh)
+            self._frame_ids_dev = jnp.asarray(
+                self._frame_ids_host, jnp.int32
+            )
+        self._slot_ids = self._frame_ids_host
+        return spp, max_depth, cam
+
+    def _frame_finish(self, slots: int, spp: int, segments):
+        self._frame_sample_base += spp
+        self._tiles_counter += slots // DEFAULT_TILE_RAYS
+        # Device scalar; folded into segments_traced lazily (no sync here,
+        # the interactive path must not block the dispatch pipeline).
+        self._pending_segments.append(segments)
+
+    def render_frame(self, spp: int | None = None, max_depth: int | None = None):
+        """Interactive path: one fused dispatch per frame, returning the
+        DEVICE u8 image (slot order) without sync -- pair with
+        ``fetch_image``. Uses the pallas backend's tiled slot order; advances
+        the absolute sample base so consecutive frames draw fresh samples."""
+        spp, max_depth, cam = self._frame_setup(spp, max_depth, "render_frame")
         slots = rtiling.num_slots(cam.image_width, cam.image_height)
-        self._slot_ids = rtiling.tiled_pixel_ids(
-            cam.image_width, cam.image_height
-        )
         dev, segments = _frame_step(
             self.scene,
             cam,
@@ -727,11 +758,7 @@ class Renderer:
             "tiled",
             self._pallas_interpret,
         )
-        self._frame_sample_base += spp
-        self._tiles_counter += slots // DEFAULT_TILE_RAYS
-        # Device scalar; folded into segments_traced lazily (no sync here,
-        # the interactive path must not block the dispatch pipeline).
-        self._pending_segments.append(segments)
+        self._frame_finish(slots, spp, segments)
         return dev
 
     def render_frame_preview(
@@ -746,20 +773,18 @@ class Renderer:
         preview per frame for a live display (tens of KB overlaps the next
         dispatch safely on the remote tunnel; a full-frame fetch does not
         -- see _frame_preview_step); fetch the full slots only for frames
-        being recorded."""
-        if self.backend != "pallas":
-            raise ValueError("render_frame requires the pallas backend")
-        if self.mesh is not None:
-            raise ValueError("render_frame is single-chip; use render()")
-        spp = int(spp if spp is not None else self.params.samples_per_pixel)
-        max_depth = int(
-            max_depth if max_depth is not None else self.params.max_depth
+        being recorded. The preview covers the WHOLE frame; its actual
+        shape is ceil(H/fy) x ceil(W/fx) <= (preview_rows, preview_cols)
+        where fy/fx are the ceil box factors."""
+        spp, max_depth, cam = self._frame_setup(
+            spp, max_depth, "render_frame_preview"
         )
-        cam = self.camera
         slots = rtiling.num_slots(cam.image_width, cam.image_height)
-        self._slot_ids = rtiling.tiled_pixel_ids(
-            cam.image_width, cam.image_height
-        )
+        h, w = cam.image_height, cam.image_width
+        ph = min(int(preview_rows), h)
+        pw = min(int(preview_cols), w)
+        fy = -(-h // ph)
+        fx = -(-w // pw)
         dev, prev, segments = _frame_preview_step(
             self.scene,
             cam,
@@ -768,18 +793,16 @@ class Renderer:
             jnp.int32(self._frame_sample_base),
             jnp.int32(spp),
             jnp.int32(max_depth),
-            jnp.asarray(self._slot_ids, jnp.int32),
+            self._frame_ids_dev,
             slots,
             "tiled",
-            cam.image_height,
-            cam.image_width,
-            min(int(preview_rows), cam.image_height),
-            min(int(preview_cols), cam.image_width),
+            h,
+            w,
+            -(-h // fy),
+            -(-w // fx),
             self._pallas_interpret,
         )
-        self._frame_sample_base += spp
-        self._tiles_counter += slots // DEFAULT_TILE_RAYS
-        self._pending_segments.append(segments)
+        self._frame_finish(slots, spp, segments)
         return dev, prev
 
     def fetch_image(self, u8_dev) -> np.ndarray:

@@ -272,6 +272,55 @@ def test_render_frame_requires_pallas():
         r.render_frame(spp=1)
 
 
+def test_render_frame_preview_covers_whole_frame():
+    """The device-side preview must be a box downsample of the ENTIRE frame.
+
+    Regression test for the floor-factor crop bug: with a frame that is not
+    a multiple of the preview size (here 66x44 with a 32x16 preview grid),
+    floor factors + crop silently dropped the right/bottom edge. The fix
+    uses ceil box factors with edge padding, so the preview reproduces a
+    host-computed downsample of the full fetched image exactly -- including
+    the last row/column of boxes."""
+    from raytracing_tpu.scene.types import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_metallic_sphere((0.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.0)
+    scene = b.build()
+    params = rt.CameraParameters(
+        aspect_ratio=1.5,
+        image_width=66,  # 66x44: neither divisible by the preview grid
+        samples_per_pixel=2,
+        max_depth=4,
+        vertical_fov=30.0,
+        defocus_angle=0.0,
+        focus_distance=10.0,
+        lookfrom=(0.0, 1.0, 3.0),
+        lookat=(0.0, 0.5, 0.0),
+    )
+
+    r = rt.Renderer(scene, params, seed=0, backend="pallas")
+    dev, prev = r.render_frame_preview(spp=2, preview_rows=16, preview_cols=32)
+    frame = r.fetch_image(dev)
+    prev = np.asarray(prev)
+
+    h, w = frame.shape[:2]
+    fy = -(-h // 16)  # ceil factors as the renderer computes them
+    fx = -(-w // 32)
+    ph, pw = -(-h // fy), -(-w // fx)
+    assert prev.shape == (ph, pw, 3)
+    padded = np.pad(
+        frame, ((0, ph * fy - h), (0, pw * fx - w), (0, 0)), mode="edge"
+    ).astype(np.float32)
+    expect = padded.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
+    np.testing.assert_array_equal(prev, (expect + 0.5).astype(np.uint8))
+    # The bottom-right preview cell must reflect bottom-right image content
+    # (the old crop made it a function of interior pixels only).
+    assert prev[-1, -1].tolist() == (
+        (expect + 0.5).astype(np.uint8)[-1, -1].tolist()
+    )
+
+
 def test_checkpoint_mid_render_from_progress_callback(tmp_path):
     """save_checkpoint must work while a render is in flight (the Ctrl-C
     path persists the latest completed chunk; accumulate buffers must not be
