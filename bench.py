@@ -162,11 +162,14 @@ def main() -> None:
         os._exit(1)
 
     # Best of N seed-varied warm runs (min wall == least tunnel contention;
-    # distinct seeds defeat the tunnel's identical-execution dedupe).
+    # distinct seeds defeat the tunnel's identical-execution dedupe). Timed
+    # seeds are offset by +1 so rep 0 can never replay the warmup execution
+    # (same seed + same spp when --spp == --warmup-spp would dedupe into a
+    # near-instant, fraudulent best-of winner).
     runs = []
     hung = 0
     for rep in range(max(args.repeats, 1)):
-        renderer = rt.Renderer(scene, params, seed=args.seed + rep, **rkw)
+        renderer = rt.Renderer(scene, params, seed=args.seed + 1 + rep, **rkw)
         deadline = (
             max(120.0, 10.0 * runs[0][1]) if runs else _FIRST_RUN_DEADLINE_S
         )
