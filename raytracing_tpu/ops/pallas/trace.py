@@ -342,6 +342,107 @@ def _interp(flag: bool):
 # ---------------------------------------------------------------------------
 
 
+# Error-scale widening for the per-block cull's bounding-sphere quadratic.
+# The radius widening at pack time (1.001 R + 1e-3) is NOT conservative on
+# its own: at the scene dynamic range (|C| up to ~1000x R, CLAUDE.md's bf16
+# analysis) the gate's h_b = bc.d - d.o and cq_b = bm2 - 2 bc.o + o.o are
+# catastrophic cancellations of ~|C|^2-scale intermediates, so the f32
+# rounding error of delta_b = h_b^2 - a*cq_b is ~k*eps times the UNCANCELLED
+# term magnitudes -- NOT eps*|delta_b| and not even eps*(h^2 + |a cq|)
+# (bounce rays have o near C: tiny |o - C| but ~|C|^2-scale intermediates).
+# A grazing TRUE hit can then round delta_b negative (sqrt -> NaN -> block
+# culled) while the contained sphere's own independently-rounded quadratic
+# still hits, breaking bit-transparency (found by a directed search over
+# silhouette rays; test_sphere_cull_bit_transparent_dynamic_range pins the
+# kill-shot direction). The conservative margins are built from magnitude
+# bounds (Cauchy-Schwarz: |bc.d| <= |bc| sqrt(a), |bc.o| <= |bc| |o|):
+#   mh  = |bc| sqrt(a) + |d.o]      >= |h_b| and every h_b addend
+#   mc  = |bm2| + 2 |bc| |o| + o.o  >= every cq_b addend
+#   delta_b += EPS * (mh^2 + a*mc)  (covers ~6 eps accumulation, 14x slack)
+#   sq_b    += EPS * mh             (covers h_b's own error in near/far)
+# EPS = 84 f32 ulps. Cost: ~10 extra VPU ops per (ray group, block) in the
+# gate and a spurious-pass shell around far blocks -- false passes only
+# cost a swept block, never correctness.
+_CULL_DELTA_EPS = 1.0e-5
+
+
+def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
+               body):
+    """Shared per-block conservative reject for the four stage-1 sweeps
+    (flat/two-level x sphere/triangle).
+
+    One scalar ``lax.cond`` per visited block: the block's bounding sphere
+    ``[C, |C|^2 - R^2]`` (SMEM, front-to-back VISIT order -- bounds row
+    ``b``, swept block ``ord_ref[b]``) runs the same scaled-root quadratic
+    as its primitives; the block body is skipped only when NO active lane's
+    ray can hit the widened bound strictly closer than its current best.
+    Containment (pack-time R widening) + the delta-space margin above make
+    the skip bit-transparent: culling on/off produces identical radiance
+    (tested, test_pallas.py cull A/B tests).
+
+    ``carry`` is the per-group tuple of packed-key minima; ``id_mask`` is
+    the key's low id-bit mask, so ``carry[g] | id_mask`` bitcast to f32 is
+    a >= upper bound on the group's winning root. ``scaled_key`` selects
+    the key's unit: sphere keys are UNSCALED-root n = a*t (compare near_b
+    directly, tight relative margin); triangle keys are approximate t
+    (compare against a * cur_hi with a wider margin covering the
+    approx-reciprocal error). Lanes with ``act`` False (stale: all samples
+    done, wave draining) are masked out of the vote so they cannot force
+    blocks other lanes culled.
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    a, d_dot_o, o_dot_o, ta, sa, so = pre
+    ord_ref, bnd_ref, act = cull
+    bcx = bnd_ref[4 * b]
+    bcy = bnd_ref[4 * b + 1]
+    bcz = bnd_ref[4 * b + 2]
+    bm2 = bnd_ref[4 * b + 3]
+    # Scalar per block: |bc| and the |bm2| + 2|bc||o|-independent pieces of
+    # the magnitude bounds (scalar-unit work, overlaps the VPU).
+    bc_abs = jnp.sqrt(bcx * bcx + bcy * bcy + bcz * bcz)
+    bm2_abs = jnp.abs(bm2)
+    anyv = jnp.zeros((1, 128), jnp.int32)
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+        h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
+        cq_b = (
+            bm2
+            - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
+            + o_dot_o[sl]
+        )
+        hh = h_b * h_b
+        acq = a[sl] * cq_b
+        # Conservative error margins at the UNCANCELLED magnitude scale
+        # (see _CULL_DELTA_EPS above): mh >= |h_b| + its addends,
+        # mc >= cq_b's addends.
+        mh = bc_abs * sa[sl] + jnp.abs(d_dot_o[sl])
+        mc = (bm2_abs + 2.0 * bc_abs * so[sl]) + o_dot_o[sl]
+        delta_b = hh - acq + _CULL_DELTA_EPS * (mh * mh + a[sl] * mc)
+        sq_b = (  # NaN on miss -> compares false
+            jnp.sqrt(delta_b) + _CULL_DELTA_EPS * mh
+        )
+        near_b = h_b - sq_b
+        far_b = h_b + sq_b
+        cur_hi = pltpu.bitcast(carry[g] | id_mask, jnp.float32)
+        if scaled_key:
+            passg = (far_b > ta[sl] * 0.999) & (
+                near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
+            )
+        else:
+            thr = a[sl] * cur_hi
+            passg = (far_b > ta[sl] * 0.99) & (
+                near_b <= thr + 0.01 * jnp.abs(thr) + 1.0e-3
+            )
+        if act is not None:
+            passg = passg & act[sl]
+        anyv = anyv | passg.astype(jnp.int32)
+    return jax.lax.cond(
+        jnp.max(anyv) > 0,
+        lambda kw: body(ord_ref[b], kw), lambda kw: kw,
+        carry,
+    )
+
+
 def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
     """Closest-hit over all spheres for a full (t_sub, 128) ray tile.
 
@@ -418,41 +519,19 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
             )
         return tuple(out)
 
+    if cull is not None:
+        sa = jnp.sqrt(a)
+        so = jnp.sqrt(o_dot_o)
+
     def blk_step_all(b, kmins):
         if cull is None:
             return blk_body(b, kmins)
-        # Per-block conservative reject (see _closest_sphere_two_level;
-        # the flat key's low pack_mask bits are sphere ids, so |pack_mask
-        # gives the same >= upper bound on the winning scaled root).
-        ord_ref, bnd_ref, act = cull
-        bcx = bnd_ref[4 * b]
-        bcy = bnd_ref[4 * b + 1]
-        bcz = bnd_ref[4 * b + 2]
-        bm2 = bnd_ref[4 * b + 3]
-        anyv = jnp.zeros((1, 128), jnp.int32)
-        for g in range(t_sub):
-            sl = slice(g, g + 1)
-            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
-            cq_b = (
-                bm2
-                - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
-                + o_dot_o[sl]
-            )
-            delta_b = h_b * h_b - a[sl] * cq_b
-            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
-            near_b = h_b - sq_b
-            far_b = h_b + sq_b
-            cur_hi = pltpu.bitcast(kmins[g] | pack_mask, jnp.float32)
-            passg = (far_b > ta[sl] * 0.999) & (
-                near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
-            )
-            if act is not None:
-                passg = passg & act[sl]
-            anyv = anyv | passg.astype(jnp.int32)
-        return jax.lax.cond(
-            jnp.max(anyv) > 0,
-            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
-            kmins,
+        # Per-block conservative reject (_cull_gate; the flat key's low
+        # pack_mask bits are sphere ids, so |pack_mask gives the same >=
+        # upper bound on the winning scaled root as the two-level wmask).
+        return _cull_gate(
+            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kmins,
+            id_mask=pack_mask, scaled_key=True, body=blk_body,
         )
 
     init = tuple(nohit for _ in range(t_sub))
@@ -918,53 +997,17 @@ def _closest_sphere_two_level(
             out.append(kwin_g)
         return tuple(out)
 
+    if cull is not None:
+        sa = jnp.sqrt(a)
+        so = jnp.sqrt(o_dot_o)
+
     def blk_step_all(b, kwins):
         if cull is None:
             return blk_body(b, kwins)
-        # Per-block conservative reject (bit-transparent: see
-        # _cull_enabled). The block's bounding sphere [C, |C|^2 - R^2]
-        # runs the SAME scaled-root quadratic as its spheres; every
-        # contained sphere's candidate interval lies inside the bound's
-        # [nearB, farB] (R is widened at pack time for f32 margin), so
-        # rejecting on "nearB strictly past the lane's current upper
-        # bound" can never drop a key that would have won the min.
-        # Bounds are read in front-to-back VISIT order (b); the swept
-        # block index is ord_ref[b] (_order_bounds).
-        ord_ref, bnd_ref, act = cull
-        bcx = bnd_ref[4 * b]
-        bcy = bnd_ref[4 * b + 1]
-        bcz = bnd_ref[4 * b + 2]
-        bm2 = bnd_ref[4 * b + 3]
-        anyv = jnp.zeros((1, 128), jnp.int32)
-        for g in range(t_sub):
-            sl = slice(g, g + 1)
-            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
-            cq_b = (
-                bm2
-                - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
-                + o_dot_o[sl]
-            )
-            delta_b = h_b * h_b - a[sl] * cq_b
-            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
-            near_b = h_b - sq_b
-            far_b = h_b + sq_b
-            # Upper bound of the lane's current best scaled root: the
-            # quantized key's value bits with the packed id bits forced
-            # to 1 (>= the true winning nroot).
-            cur_hi = pltpu.bitcast(kwins[g] | wmask, jnp.float32)
-            passg = (far_b > ta[sl] * 0.999) & (
-                near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
-            )
-            if act is not None:
-                # Lanes done with every sample keep tracing their stale
-                # last ray (regen keeps the wave shape); they must not
-                # force blocks other lanes culled.
-                passg = passg & act[sl]
-            anyv = anyv | passg.astype(jnp.int32)
-        return jax.lax.cond(
-            jnp.max(anyv) > 0,
-            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
-            kwins,
+        # Per-block conservative reject (bit-transparent; see _cull_gate).
+        return _cull_gate(
+            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kwins,
+            id_mask=wmask, scaled_key=True, body=blk_body,
         )
 
     if n_blocks == 1:
@@ -1101,43 +1144,18 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
     o_dot_o = ox * ox + oy * oy + oz * oz
     ta = _T_MIN * a
 
+    if cull is not None:
+        sa = jnp.sqrt(a)
+        so = jnp.sqrt(o_dot_o)
+
     def blk_step_all(b, kmins):
         if cull is None:
             return blk_body(b, kmins)
-        # Per-block conservative reject; triangle keys are UNSCALED t so
-        # the bound's scaled roots compare against a * cur_hi with a
-        # relative margin covering the approx-reciprocal key error (see
-        # _closest_tri_two_level's blk_step_all).
-        ord_ref, bnd_ref, act = cull
-        bcx = bnd_ref[4 * b]
-        bcy = bnd_ref[4 * b + 1]
-        bcz = bnd_ref[4 * b + 2]
-        bm2 = bnd_ref[4 * b + 3]
-        anyv = jnp.zeros((1, 128), jnp.int32)
-        for g in range(t_sub):
-            sl = slice(g, g + 1)
-            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
-            cq_b = (
-                bm2
-                - 2.0 * (bcx * ox[sl] + bcy * oy[sl] + bcz * oz[sl])
-                + o_dot_o[sl]
-            )
-            delta_b = h_b * h_b - a[sl] * cq_b
-            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
-            near_b = h_b - sq_b
-            far_b = h_b + sq_b
-            cur_hi = pltpu.bitcast(kmins[g] | pack_mask, jnp.float32)
-            thr = a[sl] * cur_hi
-            passg = (far_b > ta[sl] * 0.99) & (
-                near_b <= thr + 0.01 * jnp.abs(thr) + 1.0e-3
-            )
-            if act is not None:
-                passg = passg & act[sl]
-            anyv = anyv | passg.astype(jnp.int32)
-        return jax.lax.cond(
-            jnp.max(anyv) > 0,
-            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
-            kmins,
+        # Per-block conservative reject (_cull_gate; triangle keys are
+        # UNSCALED approximate t -> scaled_key=False margin regime).
+        return _cull_gate(
+            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kmins,
+            id_mask=pack_mask, scaled_key=False, body=blk_body,
         )
 
     init = tuple(nohit for _ in range(t_sub))
@@ -1240,44 +1258,18 @@ def _closest_tri_two_level(
     o_dot_o = ox_ * ox_ + oy_ * oy_ + oz_ * oz_
     ta = _T_MIN * a
 
+    if cull is not None:
+        sa = jnp.sqrt(a)
+        so = jnp.sqrt(o_dot_o)
+
     def blk_step_all(b, kwins):
         if cull is None:
             return blk_body(b, kwins)
-        # Per-block conservative reject (see _closest_sphere_two_level).
-        # Triangle keys are in UNSCALED t (approx-reciprocal candidates),
-        # so the bound's scaled roots compare against a[sl] * cur_hi with
-        # an extra relative margin covering the reciprocal's error.
-        # Bounds read in front-to-back VISIT order; sweep ord_ref[b].
-        ord_ref, bnd_ref, act = cull
-        bcx = bnd_ref[4 * b]
-        bcy = bnd_ref[4 * b + 1]
-        bcz = bnd_ref[4 * b + 2]
-        bm2 = bnd_ref[4 * b + 3]
-        anyv = jnp.zeros((1, 128), jnp.int32)
-        for g in range(t_sub):
-            sl = slice(g, g + 1)
-            h_b = bcx * dx[sl] + bcy * dy[sl] + bcz * dz[sl] - d_dot_o[sl]
-            cq_b = (
-                bm2
-                - 2.0 * (bcx * ox_[sl] + bcy * oy_[sl] + bcz * oz_[sl])
-                + o_dot_o[sl]
-            )
-            delta_b = h_b * h_b - a[sl] * cq_b
-            sq_b = jnp.sqrt(delta_b)  # NaN on miss -> compares false
-            near_b = h_b - sq_b
-            far_b = h_b + sq_b
-            cur_hi = pltpu.bitcast(kwins[g] | wmask, jnp.float32)
-            thr = a[sl] * cur_hi
-            passg = (far_b > ta[sl] * 0.99) & (
-                near_b <= thr + 0.01 * jnp.abs(thr) + 1.0e-3
-            )
-            if act is not None:
-                passg = passg & act[sl]
-            anyv = anyv | passg.astype(jnp.int32)
-        return jax.lax.cond(
-            jnp.max(anyv) > 0,
-            lambda kw: blk_body(ord_ref[b], kw), lambda kw: kw,
-            kwins,
+        # Per-block conservative reject (_cull_gate; UNSCALED approx-t
+        # keys -> scaled_key=False margin regime).
+        return _cull_gate(
+            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kwins,
+            id_mask=wmask, scaled_key=False, body=blk_body,
         )
 
     if n_blocks == 1:
@@ -1940,6 +1932,105 @@ def _regen_kernel(
     stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
 
 
+def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
+    """Assemble the OPTIONAL kernel operands (MXU plane tables, per-block
+    cull bound tables, texture tables, triangle tables) plus their
+    BlockSpecs and the kernel's static flags -- shared by
+    ``_render_pixels_fused`` and ``trace_rays_fused`` so the operand order
+    can never diverge between the two builders.
+
+    The append order here IS the kernels' pop order (``_regen_kernel`` /
+    ``_trace_kernel`` unpack positionally): sphere planes, sphere cull
+    (ord, bnd), texture table, texture planes, triangle table, triangle
+    planes, triangle cull (ord, bnd). Any reordering must change both
+    kernels' unpack code in the same commit.
+
+    ``origin_proxy``: the front-to-back sort origin for cull blocks -- the
+    camera center for the pixel path, a ray-origin proxy (mean origin) for
+    the raw-ray path. Visit order cannot affect results (stage-1 min is
+    order-independent); it only decides how early lanes' bounds tighten.
+
+    Returns ``(inputs, specs, kflags)`` where ``kflags`` are the
+    keyword flags both kernels share (tex_plane, tri_pad, mxu_cols,
+    tex_mxu, tri_mxu, sph_cull, tri_cull).
+    """
+    inputs = ()
+    specs = []
+    mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
+    if mxu_cols:
+        # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
+        inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
+        specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    elif _two_level_mxu(n_pad):
+        # Two-level stage-2 window fetch: window-major plane table.
+        mxu_cols = 11 if scene.has_textures else 7
+        inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
+        specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
+    if sph_cull:
+        # Per-block bounding spheres for the stage-1 conservative reject
+        # (SMEM: visit order int32[nb] + 4 f32 scalars per sweep block,
+        # front-to-back from the origin proxy).
+        s_ord, s_bnd = _block_bounds(
+            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, origin_proxy
+        )
+        inputs = (*inputs, s_ord, s_bnd)
+        specs = [*specs] + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+    tex_plane = None
+    tex_mxu = False
+    if scene.has_textures:
+        tex_table, kh, kw, _ = pack_textures(scene)
+        tex_plane = (kh, kw, tex_table.shape[0])
+        inputs = (*inputs, tex_table)
+        specs = [*specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tex_mxu = _mxu_enabled()
+        if tex_mxu:
+            inputs = (*inputs, pack_textures(scene, with_planes=True)[4])
+            specs = [*specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+    tri_pad = None
+    tri_mxu = False
+    tri_cull = False
+    if scene.has_triangles:
+        tri_table, tri_m = pack_triangles(scene)
+        tri_pad = tri_table.shape[0]
+        inputs = (*inputs, tri_table)
+        specs = [*specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        if _two_level_mxu(tri_pad, tri=True):
+            # Stage-2 window fetch table (two-level meshes).
+            tri_mxu = True
+            tri_planes = pack_triangles(scene, with_win_planes=True)[2]
+        elif _mxu_enabled() and not _two_level_enabled(tri_pad, tri=True):
+            # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
+            tri_mxu = True
+            tri_planes = pack_triangles(scene, with_planes=True)[2]
+        if tri_mxu:
+            inputs = (*inputs, tri_planes)
+            specs = [*specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        tri_blk_rows = (
+            _tri_blk(tri_pad)
+            if _two_level_enabled(tri_pad, tri=True)
+            else min(tri_pad, _SWEEP_ROWS)
+        )
+        tri_cull = _cull_enabled() and tri_pad > tri_blk_rows
+        if tri_cull:
+            t_ord, t_bnd = _tri_block_bounds(
+                tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
+                tri_m, tri_blk_rows, origin_proxy,
+            )
+            inputs = (*inputs, t_ord, t_bnd)
+            specs = [*specs] + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+    kflags = dict(
+        tex_plane=tex_plane,
+        tri_pad=tri_pad,
+        mxu_cols=mxu_cols,
+        tex_mxu=tex_mxu,
+        tri_mxu=tri_mxu,
+        sph_cull=sph_cull,
+        tri_cull=tri_cull,
+    )
+    return inputs, specs, kflags
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_slots", "pixel_order", "tile_rays", "interpret"),
@@ -2026,90 +2117,16 @@ def _render_pixels_fused(
         ]
     )
 
-    tex_inputs = ()
-    tex_specs = []
-    mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
-    if mxu_cols:
-        # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
-        tex_inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
-        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    elif _two_level_mxu(n_pad):
-        # Two-level stage-2 window fetch: window-major plane table.
-        mxu_cols = 11 if scene.has_textures else 7
-        tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
-        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
-    if sph_cull:
-        # Per-block bounding spheres for the stage-1 conservative reject
-        # (SMEM: visit order int32[nb] + 4 f32 scalars per sweep block,
-        # front-to-back from the camera center).
-        s_ord, s_bnd = _block_bounds(
-            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, center
-        )
-        tex_inputs = (*tex_inputs, s_ord, s_bnd)
-        tex_specs = [*tex_specs] + [
-            pl.BlockSpec(memory_space=pltpu.SMEM)
-        ] * 2
-    tex_plane = None
-    tex_mxu = False
-    if scene.has_textures:
-        tex_table, kh, kw, _ = pack_textures(scene)
-        tex_plane = (kh, kw, tex_table.shape[0])
-        tex_inputs = (*tex_inputs, tex_table)
-        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tex_mxu = _mxu_enabled()
-        if tex_mxu:
-            tex_inputs = (
-                *tex_inputs, pack_textures(scene, with_planes=True)[4]
-            )
-            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-    tri_pad = None
-    tri_mxu = False
-    tri_cull = False
-    if scene.has_triangles:
-        tri_table, tri_m = pack_triangles(scene)
-        tri_pad = tri_table.shape[0]
-        tex_inputs = (*tex_inputs, tri_table)
-        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        if _two_level_mxu(tri_pad, tri=True):
-            # Stage-2 window fetch table (two-level meshes).
-            tri_mxu = True
-            tri_planes = pack_triangles(scene, with_win_planes=True)[2]
-        elif _mxu_enabled() and not _two_level_enabled(tri_pad, tri=True):
-            # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
-            tri_mxu = True
-            tri_planes = pack_triangles(scene, with_planes=True)[2]
-        if tri_mxu:
-            tex_inputs = (*tex_inputs, tri_planes)
-            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tri_blk_rows = (
-            _tri_blk(tri_pad)
-            if _two_level_enabled(tri_pad, tri=True)
-            else min(tri_pad, _SWEEP_ROWS)
-        )
-        tri_cull = _cull_enabled() and tri_pad > tri_blk_rows
-        if tri_cull:
-            t_ord, t_bnd = _tri_block_bounds(
-                tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                tri_m, tri_blk_rows, center,
-            )
-            tex_inputs = (*tex_inputs, t_ord, t_bnd)
-            tex_specs = [*tex_specs] + [
-                pl.BlockSpec(memory_space=pltpu.SMEM)
-            ] * 2
+    tex_inputs, tex_specs, kflags = _aux_scene_inputs(
+        scene, geom_h, shade, n_actual, n_pad, center
+    )
 
     kernel = functools.partial(
         _regen_kernel,
         n_pad=n_pad,
         tile_shape=(t_sub, 128),
         pixel_order=pixel_order,
-        tex_plane=tex_plane,
-        tri_pad=tri_pad,
-        mxu_cols=mxu_cols,
-        tex_mxu=tex_mxu,
-        tri_mxu=tri_mxu,
-        sph_cull=sph_cull,
-        tri_cull=tri_cull,
+        **kflags,
     )
 
 
@@ -2367,91 +2384,18 @@ def trace_rays_fused(
         .at[2].set(tile_offset.astype(jnp.int32))
     )
 
-    tex_inputs = ()
-    tex_specs = []
-    mxu_cols = _mxu_gather_cols(n_pad, scene.has_textures)
-    if mxu_cols:
-        # Planes from INT sources (subnormal/NaN-safe; see pack_scene).
-        tex_inputs = (pack_scene(scene, with_planes=mxu_cols)[4],)
-        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    elif _two_level_mxu(n_pad):
-        # Two-level stage-2 window fetch: window-major plane table.
-        mxu_cols = 11 if scene.has_textures else 7
-        tex_inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
-        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
-    if sph_cull:
-        # Per-block bounding spheres for the stage-1 conservative reject
-        # (SMEM: visit order + 4 f32 per sweep block; the mean ray origin
-        # stands in for the camera center as the front-to-back proxy).
-        s_ord, s_bnd = _block_bounds(
-            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS,
-            jnp.mean(origins, axis=0),
-        )
-        tex_inputs = (*tex_inputs, s_ord, s_bnd)
-        tex_specs = [*tex_specs] + [
-            pl.BlockSpec(memory_space=pltpu.SMEM)
-        ] * 2
-    tex_plane = None
-    tex_mxu = False
-    if scene.has_textures:
-        tex_table, kh, kw, _ = pack_textures(scene)
-        tex_plane = (kh, kw, tex_table.shape[0])
-        tex_inputs = (*tex_inputs, tex_table)
-        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tex_mxu = _mxu_enabled()
-        if tex_mxu:
-            tex_inputs = (
-                *tex_inputs, pack_textures(scene, with_planes=True)[4]
-            )
-            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-    tri_pad = None
-    tri_mxu = False
-    tri_cull = False
-    if scene.has_triangles:
-        tri_table, tri_m = pack_triangles(scene)
-        tri_pad = tri_table.shape[0]
-        tex_inputs = (*tex_inputs, tri_table)
-        tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        if _two_level_mxu(tri_pad, tri=True):
-            # Stage-2 window fetch table (two-level meshes).
-            tri_mxu = True
-            tri_planes = pack_triangles(scene, with_win_planes=True)[2]
-        elif _mxu_enabled() and not _two_level_enabled(tri_pad, tri=True):
-            # Flat winner fetch on the MXU (<= _SWEEP_ROWS meshes).
-            tri_mxu = True
-            tri_planes = pack_triangles(scene, with_planes=True)[2]
-        if tri_mxu:
-            tex_inputs = (*tex_inputs, tri_planes)
-            tex_specs = [*tex_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        tri_blk_rows = (
-            _tri_blk(tri_pad)
-            if _two_level_enabled(tri_pad, tri=True)
-            else min(tri_pad, _SWEEP_ROWS)
-        )
-        tri_cull = _cull_enabled() and tri_pad > tri_blk_rows
-        if tri_cull:
-            t_ord, t_bnd = _tri_block_bounds(
-                tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                tri_m, tri_blk_rows, jnp.mean(origins, axis=0),
-            )
-            tex_inputs = (*tex_inputs, t_ord, t_bnd)
-            tex_specs = [*tex_specs] + [
-                pl.BlockSpec(memory_space=pltpu.SMEM)
-            ] * 2
+    # The mean ray origin stands in for the camera center as the cull
+    # blocks' front-to-back proxy (raw rays have no camera).
+    tex_inputs, tex_specs, kflags = _aux_scene_inputs(
+        scene, geom_h, shade, n_actual, n_pad, jnp.mean(origins, axis=0)
+    )
 
     kernel = functools.partial(
         _trace_kernel,
         n_pad=n_pad,
         max_depth=max_depth,
         tile_shape=(t_sub, 128),
-        tex_plane=tex_plane,
-        tri_pad=tri_pad,
-        mxu_cols=mxu_cols,
-        tex_mxu=tex_mxu,
-        tri_mxu=tri_mxu,
-        sph_cull=sph_cull,
-        tri_cull=tri_cull,
+        **kflags,
     )
 
 

@@ -99,7 +99,8 @@ def test_scene_larger_than_one_sphere_block():
 def test_scene_larger_than_sweep_window(monkeypatch, two_level):
     """> 512 spheres (n_pad 1024) exercises the multi-block sweep + cull;
     must still match XLA exactly on a deterministic all-metal scene. The
-    default path at 1024 rows is FLAT (threshold 4096 since round 3);
+    default path at 1024 rows is FLAT (threshold 16*_SWEEP_ROWS = 8192
+    since the round-3 A/B table);
     two_level=True forces the two-level path via RT_TWO_LEVEL_MIN so its
     parity stays covered off the default."""
     rng = np.random.default_rng(12)
@@ -434,7 +435,7 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level):
     widened bounding sphere, so radiance with culling on vs off must be
     identical to the last bit. 600 spheres -> n_pad 1024 = 2 sweep
     blocks; the default path at 1024 rows is the FLAT block-major sweep
-    (two-level starts at 4096 since the round-3 threshold A/B), so the
+    (two-level starts at 16*_SWEEP_ROWS = 8192 per the round-3 A/B), so the
     two_level=True case forces the two-level path via RT_TWO_LEVEL_MIN to
     keep its cull covered too."""
     rng = np.random.default_rng(12)
@@ -447,6 +448,79 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level):
     keys = _keys(n, seed=9)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
+    if two_level:
+        monkeypatch.setenv("RT_TWO_LEVEL_MIN", "513")
+        jax.clear_caches()
+    try:
+        rad_cull, seg_cull = _run_fused(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
+        rad_ref, seg_ref = _run_fused(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
+
+
+@pytest.mark.parametrize("two_level", [False, True])
+def test_sphere_cull_bit_transparent_dynamic_range(monkeypatch, two_level):
+    """Cull bit-transparency at the HOSTILE dynamic range: |o - c| up to
+    ~1000x the sphere radius, with rays aimed at sphere SILHOUETTES so the
+    bound quadratic's discriminant delta_b = h^2 - a*cq sits near zero
+    where its f32 rounding error (~eps * |oc|^2 ~ 0.1 at |oc|=1000) dwarfs
+    any radius-relative widening. Guards the delta-space margin in
+    _cull_gate (_CULL_DELTA_EPS): without it, a grazing TRUE hit's block
+    can round delta_b negative (sqrt -> NaN -> culled) while the
+    contained sphere's own delta stays positive, and cull on/off images
+    diverge. Also seeds a near sphere first so lanes carry a TIGHT
+    current-best bound (small cur_hi) while the far blocks are voted on --
+    the exact regime of the review finding."""
+    rng = np.random.default_rng(21)
+    b = SceneBuilder()
+    # A COMPACT cluster far away: 600 tiny spheres (r = 0.05) on a
+    # 0.4-radius shell at distance 1000. Morton blocks over the cluster
+    # are themselves compact, so each stage-1 block bound has R_b ~ 0.45
+    # at |oc| ~ 1000 = 20000x R_b -- the regime where the pack-time
+    # radius widening's delta-space coverage (~2 a^2 R_b^2 * 1e-3 ~ 4e-4)
+    # is ~4 ORDERS below the f32 rounding of the gate's discriminant
+    # (~20 eps |oc|^2 ~ 2.4) and only _CULL_DELTA_EPS keeps skips safe.
+    C = np.array([120.0, -340.0, 930.0])
+    C = C / np.linalg.norm(C) * 1000.0
+    centers = []
+    for _ in range(600):
+        u = rng.normal(size=3)
+        c = C + u / np.linalg.norm(u) * 0.4
+        centers.append(c)
+        b.add_metallic_sphere(tuple(c), 0.05, (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    n = 1024
+    # Aim every ray at a random cluster sphere's OUTER silhouette rim: the
+    # grazing band where the block gate's true discriminant is far smaller
+    # than its rounding error, while the sphere is still truly hit for
+    # about half the rays (impact parameter 0.9-1.1 r).
+    idx = rng.integers(0, len(centers), size=n)
+    c = np.asarray(centers)[idx]
+    tang = rng.normal(size=(n, 3))
+    tang -= (tang * c).sum(1, keepdims=True) * c / (c * c).sum(1, keepdims=True)
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    aim = c + tang * (0.05 * rng.uniform(0.9, 1.1, size=n))[:, None]
+    d1 = aim / np.linalg.norm(aim, axis=1, keepdims=True)
+    # Tile 2: 1024 COPIES of a found kill-shot direction. The cull vote is
+    # per 1024-ray tile, so mixed-direction tiles are always rescued by
+    # some lane whose gate discriminant rounds positive; only a UNIFORM
+    # tile can be wrongly culled as a whole. This direction was searched
+    # offline (f32 gate emulation over 100k silhouette rays, then
+    # confirmed through the interpret-mode kernel): with
+    # _CULL_DELTA_EPS = 0 the winning block's gate computes delta_b < 0
+    # for it and cull on/off images DIVERGE; the shipped margin must keep
+    # them byte-equal.
+    kill = np.array(
+        [0.11988540463865942, -0.34081958551765895, 0.9324534840313463]
+    )
+    d = jnp.asarray(
+        np.concatenate([d1, np.tile(kill, (1024, 1))]), jnp.float32
+    )
+    o = jnp.zeros((2 * n, 3), jnp.float32)
     if two_level:
         monkeypatch.setenv("RT_TWO_LEVEL_MIN", "513")
         jax.clear_caches()
