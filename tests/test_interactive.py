@@ -3,6 +3,7 @@ the reference's SDL event pump + ESC quit, platform.window.cc:110-140)."""
 
 import io
 import math
+import os
 import subprocess
 import sys
 
@@ -86,7 +87,19 @@ def test_run_headless_fixed_frames():
 
 def test_cli_interactive_smoke():
     """--interactive through the real CLI entry point (stdin is a pipe ->
-    headless fixed-frame mode)."""
+    headless fixed-frame mode).
+
+    The child env pins CPU AND drops the axon sitecustomize from
+    PYTHONPATH (same hermetic pattern as test_examples.py): the tunnel
+    plugin hangs jax initialization in subprocesses whenever the remote
+    worker is down, and CI must not depend on tunnel health."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=repo,
+    )
     proc = subprocess.run(
         [
             sys.executable, "-m", "raytracing_tpu",
@@ -98,6 +111,8 @@ def test_cli_interactive_smoke():
         capture_output=True,
         text=True,
         timeout=600,
+        env=env,
+        cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "interactive session ended after 1 frames" in proc.stdout
