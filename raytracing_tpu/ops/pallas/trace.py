@@ -2031,6 +2031,60 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
     return inputs, specs, kflags
 
 
+def _tile_split(count: int, tile_rays: int, what: str) -> tuple[int, int]:
+    """Validate a launch's ray/slot count against its tile size.
+
+    Returns ``(num_tiles, t_sub)`` where ``t_sub = tile_rays // 128`` is the
+    sublane extent of each (t_sub, 128) kernel tile.
+    """
+    if tile_rays % 1024 != 0 or tile_rays <= 0:
+        # (3, t_sub, 128) output blocks need t_sub divisible by 8 sublanes.
+        raise ValueError(
+            f"tile_rays must be a positive multiple of 1024, got {tile_rays}"
+        )
+    if count % tile_rays != 0:
+        raise ValueError(
+            f"{what} {count} not divisible by tile_rays {tile_rays}"
+        )
+    return count // tile_rays, tile_rays // 128
+
+
+def _launch_megakernel(kernel, *, num_tiles, t_sub, in_specs, inputs, interpret):
+    """Shared launch plumbing for the two megakernel entry points.
+
+    Both kernels write the same two outputs per grid step: a
+    ``(3, t_sub, 128)`` radiance block and an ``(8, 128)`` tile-replicated
+    stats block. This reshapes radiance to ``(S, 3)`` and reduces the
+    per-tile segment counts. Per-tile counts are int32; the total can
+    exceed 2^31 on large waves, so sum in f32 (exact below 2^24 -- covers
+    every parity test -- and metrics-grade beyond).
+    """
+    num_slots = num_tiles * t_sub * 128
+    rad, stats = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (3, t_sub, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
+        ],
+        interpret=_interp(interpret),
+    )(*inputs)
+    radiance = rad.reshape(3, num_slots).T
+    segments = jnp.sum(
+        stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
+    )
+    return radiance, segments
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_slots", "pixel_order", "tile_rays", "interpret"),
@@ -2071,13 +2125,7 @@ def _render_pixels_fused(
     Returns ``(radiance_sum[num_slots, 3], segments scalar int32)`` where
     ``radiance_sum`` is the SUM over the ``spp`` samples (caller divides).
     """
-    if tile_rays % 1024 != 0 or tile_rays <= 0:
-        # (3, t_sub, 128) output blocks need t_sub divisible by 8 sublanes.
-        raise ValueError(f"tile_rays must be a positive multiple of 1024, got {tile_rays}")
-    if num_slots % tile_rays != 0:
-        raise ValueError(
-            f"slot count {num_slots} not divisible by tile {tile_rays}"
-        )
+    num_tiles, t_sub = _tile_split(num_slots, tile_rays, "slot count")
     if pixel_order == "linear" and num_slots >= 1 << 23:
         # Linear order divides the raw f32 ABSOLUTE slot id (slot_base +
         # offset): exact only while slot_base + num_slots < 2^23. slot_base
@@ -2089,8 +2137,6 @@ def _render_pixels_fused(
             f"{num_slots} slots exceeds linear order's 2^23 addressing "
             "limit; use pixel_order='tiled'"
         )
-    num_tiles = num_slots // tile_rays
-    t_sub = tile_rays // 128
 
     geom_h, geom_c, shade, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
@@ -2130,9 +2176,10 @@ def _render_pixels_fused(
     )
 
 
-    rad, stats = pl.pallas_call(
+    return _launch_megakernel(
         kernel,
-        grid=(num_tiles,),
+        num_tiles=num_tiles,
+        t_sub=t_sub,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
@@ -2141,29 +2188,9 @@ def _render_pixels_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shade
             *tex_specs,                             # texel table
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (3, t_sub, 128),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
-        ],
-        interpret=_interp(interpret),
-    )(meta, cam_vec, geom_h, geom_c, shade, *tex_inputs)
-
-    radiance = rad.reshape(3, num_slots).T
-    # Per-tile counts are int32; the total can exceed 2^31 on large waves,
-    # so sum in f32 (exact below 2^24 -- covers every parity test -- and
-    # metrics-grade beyond).
-    segments = jnp.sum(
-        stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
+        inputs=(meta, cam_vec, geom_h, geom_c, shade, *tex_inputs),
+        interpret=interpret,
     )
-    return radiance, segments
 
 
 def render_pixels_fused(
@@ -2365,12 +2392,7 @@ def trace_rays_fused(
       ``(radiance[B, 3], segments scalar int32)``.
     """
     b = origins.shape[0]
-    if tile_rays % 1024 != 0 or tile_rays <= 0:
-        raise ValueError(f"tile_rays must be a positive multiple of 1024, got {tile_rays}")
-    if b % tile_rays != 0:
-        raise ValueError(f"ray count {b} not divisible by tile_rays {tile_rays}")
-    num_tiles = b // tile_rays
-    t_sub = tile_rays // 128
+    num_tiles, t_sub = _tile_split(b, tile_rays, "ray count")
 
     geom_h, geom_c, shade, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
@@ -2399,9 +2421,10 @@ def trace_rays_fused(
     )
 
 
-    rad, stats = pl.pallas_call(
+    return _launch_megakernel(
         kernel,
-        grid=(num_tiles,),
+        num_tiles=num_tiles,
+        t_sub=t_sub,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_h
@@ -2414,26 +2437,9 @@ def trace_rays_fused(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (3, t_sub, 128),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, b // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
-        ],
-        interpret=_interp(interpret),
-    )(meta, geom_h, geom_c, shade, *tex_inputs, rays)
-
-    radiance = rad.reshape(3, b).T
-    segments = jnp.sum(
-        stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
+        inputs=(meta, geom_h, geom_c, shade, *tex_inputs, rays),
+        interpret=interpret,
     )
-    return radiance, segments
 
 
 # ---------------------------------------------------------------------------
