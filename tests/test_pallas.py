@@ -533,3 +533,28 @@ def test_sphere_cull_bit_transparent_dynamic_range(monkeypatch, two_level):
         jax.clear_caches()
     assert seg_cull == seg_ref
     assert np.array_equal(rad_cull, rad_ref)
+
+
+def test_launch_validation_errors():
+    """Bad tile sizing raises loudly from both kernel entry points
+    (shared _tile_split; a silent truncation would drop rays)."""
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, 0.0, -1.0), 0.5, (0.8, 0.6, 0.2), 0.0)
+    scene = b.build()
+    o = jnp.zeros((1024, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (1024, 1))
+    with pytest.raises(ValueError, match="multiple of 1024"):
+        ptrace.trace_rays_fused(
+            scene, o, d, jnp.int32(0), jnp.int32(0), 2, tile_rays=512
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        ptrace.trace_rays_fused(
+            scene, o[:512], d[:512], jnp.int32(0), jnp.int32(0), 2,
+            tile_rays=1024,
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        ptrace.render_pixels_fused(
+            scene, jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.zeros(3), jnp.zeros(3), jnp.float32(0.0), jnp.int32(8),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), 512, 1, 2,
+        )
