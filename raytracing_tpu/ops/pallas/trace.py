@@ -83,8 +83,9 @@ def _knob(name: str, default: str) -> str:
                         huge value disables)
       RT_GATHER         'mxu' (default) | 'radix' winner-fetch backend
       RT_TWO_LEVEL_MXU  '1' (default) | '0' stage-2 window fetch on the MXU
-      RT_CULL           '1' (default) | '0' per-block conservative reject
-                        in the two-level stage-1 sweep
+      RT_CULL           '1' (default kind) | 'box' | 'sphere' | '0' (off):
+                        per-block conservative reject in the multi-block
+                        stage-1 sweeps, and which bound shape gates it
 
     Import-time knobs (RT_SWEEP_ROWS, RT_WIN) are validated below -- a bad
     value raises instead of silently skipping scene rows. Call-time knobs
@@ -118,16 +119,37 @@ if not (8 <= _WIN <= _SWEEP_ROWS) or (_WIN & (_WIN - 1)) != 0:
     )
 
 
-def _cull_enabled() -> bool:
-    """Static (trace-time) switch for the per-block conservative reject in
-    the two-level stage-1 sweeps (default ON; RT_CULL=0 opts out for A/B).
+# Bound shape RT_CULL='1' resolves to (see _cull_kind). 'box' becomes the
+# default only after the hardware A/B + bit-transparency validation pass.
+_CULL_DEFAULT_KIND = "sphere"
 
-    Culling is BIT-TRANSPARENT: a block is skipped only when no lane's ray
-    can intersect the block's (widened) bounding sphere strictly closer
-    than the lane's current upper bound, so the stage-1 window minima --
-    and therefore the image -- are bit-identical with culling on or off
-    (tested; see test_pallas.py cull A/B tests)."""
-    return _knob("RT_CULL", "1") != "0"
+
+def _cull_kind() -> str | None:
+    """Static (trace-time) selector for the per-block conservative reject
+    in the multi-block stage-1 sweeps: None (RT_CULL=0, off), 'sphere'
+    (per-block bounding spheres, the round-3 original), or 'box' (per-block
+    AABBs -- much tighter for Morton-coherent clusters, especially flat
+    triangle clusters, measured round 3). RT_CULL='1' (the default) maps to
+    _CULL_DEFAULT_KIND.
+
+    Culling is BIT-TRANSPARENT for every kind: a block is skipped only when
+    no lane's ray can produce a candidate key inside the block's (widened)
+    bound strictly closer than the lane's current upper bound, so the
+    stage-1 minima -- and therefore the image -- are bit-identical with
+    culling on or off (tested; see test_pallas.py / test_mesh.py cull A/B
+    tests)."""
+    v = _knob("RT_CULL", "1")
+    if v == "0":
+        return None
+    if v == "1":
+        return _CULL_DEFAULT_KIND
+    if v in ("sphere", "box"):
+        return v
+    raise ValueError(f"RT_CULL={v!r} must be one of '0', '1', 'sphere', 'box'")
+
+
+def _cull_enabled() -> bool:
+    return _cull_kind() is not None
 
 
 def _tri_blk(m_pad: int) -> int:
@@ -155,11 +177,65 @@ def _order_bounds(ctr, rad, has, origin):
     return order, bounds[order].reshape(-1).astype(jnp.float32)
 
 
+def _box_block_bounds(row_lo, row_hi, n_valid: int, blk: int, origin):
+    """Per-block AABBs for the stage-1 cull (RT_CULL=box), visit-ordered
+    front-to-back from ``origin``.
+
+    ``row_lo``/``row_hi`` are per-TABLE-ROW conservative AABBs of each
+    primitive (sphere: c -+ r; triangle: vertex min/max). Returns
+    (order int32[(nb,)], bounds f32[(nb*8,)]) where bounds rows are
+    [lox, loy, loz, hix, hiy, hiz, bmag, valid] per ``blk`` table rows in
+    VISIT order: ``bmag`` >= the magnitude |p| of every point p in the
+    widened box (scales the in-kernel grazing margin, see _cull_gate) and
+    ``valid`` is 1.0 for blocks with any live primitive (an all-padding
+    block never passes the gate).
+
+    The box is widened (absolute + coordinate-relative + extent-relative
+    epsilon) so it still contains every primitive after the f32 rounding of
+    the pack-side reductions; the gate adds its own margins for the
+    in-kernel slab arithmetic and for sweep-side root rounding.
+    """
+    n_pad = row_lo.shape[0]
+    nb = n_pad // blk
+    valid = (jnp.arange(n_pad) < n_valid).reshape(nb, blk, 1)
+    big = jnp.float32(3.0e37)
+    lo = jnp.min(jnp.where(valid, row_lo.reshape(nb, blk, 3), big), axis=1)
+    hi = jnp.max(jnp.where(valid, row_hi.reshape(nb, blk, 3), -big), axis=1)
+    has = jnp.any(valid, axis=1)[:, 0]
+    pad = (
+        1.0e-3
+        + 1.0e-6 * jnp.maximum(jnp.abs(lo), jnp.abs(hi))
+        + 1.0e-3 * (hi - lo)
+    )
+    lo_w = jnp.where(has[:, None], lo - pad, 0.0)
+    hi_w = jnp.where(has[:, None], hi + pad, 0.0)
+    bmag = jnp.sqrt(
+        jnp.sum(jnp.maximum(jnp.abs(lo_w), jnp.abs(hi_w)) ** 2, axis=1)
+    )
+    # Front-to-back: Euclidean distance from the origin proxy to the box.
+    gap = jnp.maximum(
+        jnp.maximum(lo_w - origin[None, :], origin[None, :] - hi_w), 0.0
+    )
+    d = jnp.sqrt(jnp.sum(gap * gap, axis=1))
+    d = jnp.where(has, d, jnp.float32(3.0e38))
+    order = jnp.argsort(d).astype(jnp.int32)
+    rows = jnp.concatenate(
+        [
+            lo_w, hi_w, bmag[:, None],
+            jnp.where(has, 1.0, 0.0)[:, None],
+        ],
+        axis=1,
+    )
+    return order, rows[order].reshape(-1).astype(jnp.float32)
+
+
 def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
-    """Per-block bounding spheres for the stage-1 cull, visit-ordered
+    """Per-block bounds for the sphere stage-1 cull, visit-ordered
     front-to-back from ``origin`` (the camera center / a ray-origin proxy).
 
-    Returns (order int32[(nb,)], bounds f32[(nb*4,)]) where bounds rows are
+    Kind 'box' (see _cull_kind): per-block AABBs over c -+ r
+    (_box_block_bounds layout). Kind 'sphere': bounding spheres --
+    (order int32[(nb,)], bounds f32[(nb*4,)]) where bounds rows are
     [Cx, Cy, Cz, |C|^2 - R^2] per ``blk`` table rows in VISIT order and
     ``order[b]`` is the actual block index of visit step b (SMEM layout).
 
@@ -171,6 +247,11 @@ def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
     """
     n_pad = centers.shape[0]
     nb = n_pad // blk
+    r3 = radii[:, None]
+    if _cull_kind() == "box":
+        return _box_block_bounds(
+            centers - r3, centers + r3, n_valid, blk, origin
+        )
     valid = (jnp.arange(n_pad) < n_valid).reshape(nb, blk, 1)
     c = centers.reshape(nb, blk, 3)
     r = radii.reshape(nb, blk, 1)
@@ -188,13 +269,15 @@ def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
 
 
 def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int, origin):
-    """Triangle analog of ``_block_bounds``: bounding sphere per stage-1
-    block over the triangles' vertices (v0, v0+e1, v0+e2), visit-ordered
-    front-to-back from ``origin``."""
+    """Triangle analog of ``_block_bounds``: per-block bound (kind 'box':
+    AABB; kind 'sphere': bounding sphere) over the triangles' vertices
+    (v0, v0+e1, v0+e2), visit-ordered front-to-back from ``origin``."""
     p1 = v0 + e1
     p2 = v0 + e2
     tlo = jnp.minimum(jnp.minimum(v0, p1), p2)
     thi = jnp.maximum(jnp.maximum(v0, p1), p2)
+    if _cull_kind() == "box":
+        return _box_block_bounds(tlo, thi, m_valid, blk, origin)
     m_pad = v0.shape[0]
     nb = m_pad // blk
     valid = (jnp.arange(m_pad) < m_valid).reshape(nb, blk, 1)
@@ -365,6 +448,135 @@ def _interp(flag: bool):
 # cost a swept block, never correctness.
 _CULL_DELTA_EPS = 1.0e-5
 
+# Margins of the AABB (RT_CULL=box) gate. The slab windows are computed as
+# t = bound*inv_d - o*inv_d -- a CANCELLING subtraction again, so the same
+# lesson applies: widen at the uncancelled term-magnitude scale.
+#
+# _CULL_GRAZE_EPS (spatial units, scaled by |o| + bmag): covers SWEEP-side
+# root rounding. A grazing primitive hit whose f32 discriminant rounds
+# across zero places the computed winner root within
+# ds ~ sqrt(err_delta)/|d| of the geometric tangent point, with
+# err_delta <~ 10 eps * M^2 and M ~ |oc||d| (Cauchy-Schwarz), i.e.
+# ds <~ sqrt(2*10*eps) * (|o| + bmag) ~ 1.1e-3 * (|o| + bmag) of EUCLIDEAN
+# slack around the primitive (any direction). Expanding each slab's t
+# window by ds * |inv_d_axis| PER AXIS contains every such root: the ray
+# point at the computed root lies within 2*ds of the primitive, and a point
+# within e of a slab has its t within e * |inv_axis| of the slab's window.
+# Per-axis (not a global max |inv|) matters: a near-axis-parallel lane gets
+# the huge margin ONLY on its parallel axis -- which then simply stops
+# constraining -- instead of defeating the whole gate. 4.5x slack.
+_CULL_GRAZE_EPS = 5.0e-3
+# Relative margin on the gate's OWN slab arithmetic: inv_d's division,
+# o*inv_d, and the cancelling fma, each correctly-rounded-or-near f32
+# (divide accuracy probed on hardware, scripts/probe_divide.py) -- ~4 eps
+# against the uncancelled magnitudes |bound*inv_d| + |o*inv_d|; 84 ulps
+# gives ~20x slack.
+_CULL_SLAB_EPS = 1.0e-5
+
+
+def _gate_pre(rows, a, d_dot_o, o_dot_o, ta):
+    """Per-sweep precomputes for ``_cull_gate``, tagged with the bound kind
+    (static). Hoisted out of the per-block fori by every gated sweep so the
+    gate's per-(group, block) work stays O(1) vector ops.
+
+    'sphere': Cauchy-Schwarz magnitude inputs for the quadratic bound test.
+    'box': safe per-axis reciprocals of d (sign-preserving clamp away from
+    zero -- an exactly-axis-parallel ray gets a huge-but-finite window on
+    that axis, which conservatively stops constraining) plus o*inv and the
+    absolute values the margins need.
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    if _cull_kind() != "box":
+        return (
+            "sphere", a, d_dot_o, o_dot_o, ta, jnp.sqrt(a),
+            jnp.sqrt(o_dot_o),
+        )
+    so = jnp.sqrt(o_dot_o)
+
+    def inv(c):
+        sign = pltpu.bitcast(c, jnp.int32) & jnp.int32(-0x80000000)
+        mag = jnp.maximum(jnp.abs(c), 1.0e-30)
+        return 1.0 / pltpu.bitcast(
+            pltpu.bitcast(mag, jnp.int32) | sign, jnp.float32
+        )
+
+    iv = (inv(dx), inv(dy), inv(dz))
+    oi = (ox * iv[0], oy * iv[1], oz * iv[2])
+    return (
+        "box", a, ta, so, iv,
+        tuple(jnp.abs(v) for v in iv),
+        oi,
+        tuple(jnp.abs(v) for v in oi),
+    )
+
+
+def _cull_gate_box(cull, b, pre, t_sub, carry, *, id_mask, scaled_key,
+                   body):
+    """AABB variant of the per-block conservative reject (RT_CULL=box).
+
+    One scalar ``lax.cond`` per visited block: the block's widened AABB
+    (SMEM, 8 scalars per visit row -- see _box_block_bounds) runs a slab
+    test per ray group; the block body is skipped only when NO active
+    lane's ray can produce a candidate key inside the margined window
+    strictly closer than the lane's current best. Margins: per-axis window
+    expansion by _CULL_GRAZE_EPS * (|o| + bmag) * |inv_axis| (sweep-side
+    root rounding, incl. grazing discriminant flips) plus
+    _CULL_SLAB_EPS * (|t1| + |t2| + 2|o*inv|) (the gate's own cancelling
+    fma/divide rounding), then the same compare slack vs the packed-key
+    upper bound as the sphere gate. Bit-transparent (tested)."""
+    ord_ref, bnd_ref, act = cull
+    lox = bnd_ref[8 * b]
+    loy = bnd_ref[8 * b + 1]
+    loz = bnd_ref[8 * b + 2]
+    hix = bnd_ref[8 * b + 3]
+    hiy = bnd_ref[8 * b + 4]
+    hiz = bnd_ref[8 * b + 5]
+    bmag = bnd_ref[8 * b + 6]
+    bval = bnd_ref[8 * b + 7]
+    _, a, ta, so, iv, aiv, oi, aoi = pre
+    anyv = jnp.zeros((1, 128), jnp.int32)
+    for g in range(t_sub):
+        sl = slice(g, g + 1)
+        ds = _CULL_GRAZE_EPS * (so[sl] + bmag)
+
+        def axis(lo, hi, k, sl=sl, ds=ds):
+            t1 = lo * iv[k][sl] - oi[k][sl]
+            t2 = hi * iv[k][sl] - oi[k][sl]
+            m = ds * aiv[k][sl] + _CULL_SLAB_EPS * (
+                jnp.abs(t1) + jnp.abs(t2) + 2.0 * aoi[k][sl]
+            )
+            return jnp.minimum(t1, t2) - m, jnp.maximum(t1, t2) + m
+
+        tnx, tfx = axis(lox, hix, 0)
+        tny, tfy = axis(loy, hiy, 1)
+        tnz, tfz = axis(loz, hiz, 2)
+        tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+        tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+        cur_hi = pltpu.bitcast(carry[g] | id_mask, jnp.float32)
+        if scaled_key:
+            # Sphere keys are unscaled roots n = a*t.
+            passg = (
+                (tf >= tn)
+                & (tf > _T_MIN * 0.999)
+                & (tn * a[sl] <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi))
+            )
+        else:
+            # Triangle keys are approximate t (2^-12 reciprocal); same 1%
+            # compare slack as the sphere-bound gate's triangle regime.
+            passg = (
+                (tf >= tn)
+                & (tf > _T_MIN * 0.99)
+                & (tn <= cur_hi + 0.01 * jnp.abs(cur_hi) + 1.0e-3)
+            )
+        if act is not None:
+            passg = passg & act[sl]
+        anyv = anyv | passg.astype(jnp.int32)
+    return jax.lax.cond(
+        (jnp.max(anyv) > 0) & (bval > 0.5),
+        lambda kw: body(ord_ref[b], kw), lambda kw: kw,
+        carry,
+    )
+
 
 def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
                body):
@@ -389,9 +601,17 @@ def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
     approx-reciprocal error). Lanes with ``act`` False (stale: all samples
     done, wave draining) are masked out of the vote so they cannot force
     blocks other lanes culled.
+
+    ``pre`` comes from ``_gate_pre`` (hoisted per sweep); its static tag
+    picks the bound shape -- 'box' dispatches to ``_cull_gate_box``.
     """
+    if pre[0] == "box":
+        return _cull_gate_box(
+            cull, b, pre, t_sub, carry,
+            id_mask=id_mask, scaled_key=scaled_key, body=body,
+        )
     ox, oy, oz, dx, dy, dz = rows
-    a, d_dot_o, o_dot_o, ta, sa, so = pre
+    _, a, d_dot_o, o_dot_o, ta, sa, so = pre
     ord_ref, bnd_ref, act = cull
     bcx = bnd_ref[4 * b]
     bcy = bnd_ref[4 * b + 1]
@@ -520,8 +740,7 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
         return tuple(out)
 
     if cull is not None:
-        sa = jnp.sqrt(a)
-        so = jnp.sqrt(o_dot_o)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
 
     def blk_step_all(b, kmins):
         if cull is None:
@@ -530,7 +749,7 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
         # pack_mask bits are sphere ids, so |pack_mask gives the same >=
         # upper bound on the winning scaled root as the two-level wmask).
         return _cull_gate(
-            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kmins,
+            cull, b, rows, pre, t_sub, kmins,
             id_mask=pack_mask, scaled_key=True, body=blk_body,
         )
 
@@ -998,15 +1217,14 @@ def _closest_sphere_two_level(
         return tuple(out)
 
     if cull is not None:
-        sa = jnp.sqrt(a)
-        so = jnp.sqrt(o_dot_o)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
 
     def blk_step_all(b, kwins):
         if cull is None:
             return blk_body(b, kwins)
         # Per-block conservative reject (bit-transparent; see _cull_gate).
         return _cull_gate(
-            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kwins,
+            cull, b, rows, pre, t_sub, kwins,
             id_mask=wmask, scaled_key=True, body=blk_body,
         )
 
@@ -1145,8 +1363,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
     ta = _T_MIN * a
 
     if cull is not None:
-        sa = jnp.sqrt(a)
-        so = jnp.sqrt(o_dot_o)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
 
     def blk_step_all(b, kmins):
         if cull is None:
@@ -1154,7 +1371,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
         # Per-block conservative reject (_cull_gate; triangle keys are
         # UNSCALED approximate t -> scaled_key=False margin regime).
         return _cull_gate(
-            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kmins,
+            cull, b, rows, pre, t_sub, kmins,
             id_mask=pack_mask, scaled_key=False, body=blk_body,
         )
 
@@ -1259,8 +1476,7 @@ def _closest_tri_two_level(
     ta = _T_MIN * a
 
     if cull is not None:
-        sa = jnp.sqrt(a)
-        so = jnp.sqrt(o_dot_o)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
 
     def blk_step_all(b, kwins):
         if cull is None:
@@ -1268,7 +1484,7 @@ def _closest_tri_two_level(
         # Per-block conservative reject (_cull_gate; UNSCALED approx-t
         # keys -> scaled_key=False margin regime).
         return _cull_gate(
-            cull, b, rows, (a, d_dot_o, o_dot_o, ta, sa, so), t_sub, kwins,
+            cull, b, rows, pre, t_sub, kwins,
             id_mask=wmask, scaled_key=False, body=blk_body,
         )
 
@@ -1968,9 +2184,9 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
         specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
     if sph_cull:
-        # Per-block bounding spheres for the stage-1 conservative reject
-        # (SMEM: visit order int32[nb] + 4 f32 scalars per sweep block,
-        # front-to-back from the origin proxy).
+        # Per-block bounds for the stage-1 conservative reject (SMEM:
+        # visit order int32[nb] + 4 (sphere kind) or 8 (box kind) f32
+        # scalars per sweep block, front-to-back from the origin proxy).
         s_ord, s_bnd = _block_bounds(
             geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, origin_proxy
         )

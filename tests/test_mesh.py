@@ -466,11 +466,12 @@ def test_renderer_mesh_pallas_vs_xla_image():
     assert np.abs(bx - bp).max() < 28.0, np.abs(bx - bp).max()
 
 
-def test_pallas_mesh_cull_bit_transparent(monkeypatch):
+@pytest.mark.parametrize("kind", ["sphere", "box"])
+def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
     """Triangle analog of test_sphere_cull_bit_transparent: the per-block
-    bounding-sphere reject over the 256-row triangle stage-1 blocks must
-    leave radiance bit-identical (1280 tris -> m_pad 2048 = 8 cull
-    blocks)."""
+    reject (both bound kinds: bounding sphere and AABB) over the 256-row
+    triangle stage-1 blocks must leave radiance bit-identical (1280 tris
+    -> m_pad 2048 = 8 cull blocks)."""
     import jax
 
     verts, faces = rmesh.make_icosphere(3)  # 1280 tris -> m_pad 2048
@@ -485,10 +486,12 @@ def test_pallas_mesh_cull_bit_transparent(monkeypatch):
     keys = _keys(n, seed=13)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
-    rad_cull, seg_cull = _run_fused_rays(scene, o, d, 4)
-    monkeypatch.setenv("RT_CULL", "0")
+    monkeypatch.setenv("RT_CULL", kind)
     jax.clear_caches()
     try:
+        rad_cull, seg_cull = _run_fused_rays(scene, o, d, 4)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
         rad_ref, seg_ref = _run_fused_rays(scene, o, d, 4)
     finally:
         jax.clear_caches()

@@ -427,13 +427,14 @@ def test_mxu_gather_matches_radix_bitexact():
     )
 
 
+@pytest.mark.parametrize("kind", ["sphere", "box"])
 @pytest.mark.parametrize("two_level", [False, True])
-def test_sphere_cull_bit_transparent(monkeypatch, two_level):
+def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
     """The per-block conservative reject in the multi-block stage-1
-    sweeps (round 3, RT_CULL) must be BIT-transparent: a block is skipped
-    only when no lane can beat its current upper bound inside the block's
-    widened bounding sphere, so radiance with culling on vs off must be
-    identical to the last bit. 600 spheres -> n_pad 1024 = 2 sweep
+    sweeps (round 3, RT_CULL; both bound kinds) must be BIT-transparent:
+    a block is skipped only when no lane can beat its current upper bound
+    inside the block's widened bound, so radiance with culling on vs off
+    must be identical to the last bit. 600 spheres -> n_pad 1024 = 2 sweep
     blocks; the default path at 1024 rows is the FLAT block-major sweep
     (two-level starts at 16*_SWEEP_ROWS = 8192 per the round-3 A/B), so the
     two_level=True case forces the two-level path via RT_TWO_LEVEL_MIN to
@@ -448,6 +449,8 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level):
     keys = _keys(n, seed=9)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
+    monkeypatch.setenv("RT_CULL", kind)
+    jax.clear_caches()
     if two_level:
         monkeypatch.setenv("RT_TWO_LEVEL_MIN", "513")
         jax.clear_caches()
@@ -462,8 +465,11 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.parametrize("kind", ["sphere", "box"])
 @pytest.mark.parametrize("two_level", [False, True])
-def test_sphere_cull_bit_transparent_dynamic_range(monkeypatch, two_level):
+def test_sphere_cull_bit_transparent_dynamic_range(
+    monkeypatch, two_level, kind
+):
     """Cull bit-transparency at the HOSTILE dynamic range: |o - c| up to
     ~1000x the sphere radius, with rays aimed at sphere SILHOUETTES so the
     bound quadratic's discriminant delta_b = h^2 - a*cq sits near zero
@@ -521,9 +527,74 @@ def test_sphere_cull_bit_transparent_dynamic_range(monkeypatch, two_level):
         np.concatenate([d1, np.tile(kill, (1024, 1))]), jnp.float32
     )
     o = jnp.zeros((2 * n, 3), jnp.float32)
+    monkeypatch.setenv("RT_CULL", kind)
+    jax.clear_caches()
     if two_level:
         monkeypatch.setenv("RT_TWO_LEVEL_MIN", "513")
         jax.clear_caches()
+    try:
+        rad_cull, seg_cull = _run_fused(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
+        rad_ref, seg_ref = _run_fused(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
+
+
+@pytest.mark.parametrize("kind", ["sphere", "box"])
+def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
+    """Cull bit-transparency for EXACTLY-axis-parallel rays whose origin
+    sits just OUTSIDE a block bound's widened x-extent -- the AABB gate's
+    hardest case. With d_x == 0.0 the geometric slab test says 'never
+    inside the x-slab', but at |oc| ~ 1000 the sweep's f32 discriminant
+    rounding band (~eps * |oc|^2 ~ 0.06) dwarfs the true miss margin
+    (delta_true ~ -2 a r gap ~ -2e-4), so grazing TRUE misses round into
+    hits the gate must not cull. Only the PER-AXIS grazing margin
+    (_CULL_GRAZE_EPS * (|o| + bmag) * |inv_axis|, astronomically large on
+    the clamped parallel axis, unconstraining exactly that axis) keeps the
+    skip conservative; a global margin or an unmargined slab test culls the
+    whole cluster and diverges (verified: zeroing the margins flips this
+    scenario from byte-equal to seg 1024 vs 3072 --
+    scripts/probe_box_cull.py, which found the pinned direction; every
+    silhouette-aimed d_x=0 candidate at this range exhibits the rounding).
+    Uniform 1024-ray tile so no other lane can rescue the vote."""
+    rng = np.random.default_rng(5)
+    b = SceneBuilder()
+    C = np.array([0.0, 0.0, 1000.0])
+    for _ in range(600):
+        u = rng.normal(size=3)
+        c = C + u / np.linalg.norm(u) * 0.4
+        b.add_metallic_sphere(tuple(c), 0.05, (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    monkeypatch.setenv("RT_CULL", kind)
+    jax.clear_caches()
+    # Origin just past the widened x-extent of every cull block, computed
+    # from the real pack-side bounds so the test tracks widening changes.
+    geh, gec, shade, n = ptrace.pack_scene(scene)[:4]
+    n_pad = geh.shape[0]
+    blk = min(n_pad, ptrace._SWEEP_ROWS)
+    _, bnd = ptrace._block_bounds(
+        np.asarray(geh[:, :3]), np.asarray(shade[:, 3]), n, blk,
+        jnp.zeros((3,), jnp.float32),
+    )
+    bnd = np.asarray(bnd)
+    if kind == "box":
+        bnd = bnd.reshape(-1, 8)
+        hix = bnd[bnd[:, 7] > 0.5, 3].max()
+    else:
+        bnd = bnd.reshape(-1, 4)  # [C, |C|^2 - R^2]
+        cm2 = bnd[:, 3]
+        live = cm2 < 1.0e37
+        rad = np.sqrt((bnd[live, :3] ** 2).sum(1) - cm2[live])
+        hix = (bnd[live, 0] + rad).max()
+    X0 = np.float32(hix + 2.0e-4)
+    kill = np.array([0.0, 4.999515113013331e-06, 1.0], np.float32)
+    d = jnp.asarray(np.tile(kill, (1024, 1)), jnp.float32)
+    o = jnp.asarray(
+        np.tile(np.array([X0, 0.0, 0.0], np.float32), (1024, 1)), jnp.float32
+    )
     try:
         rad_cull, seg_cull = _run_fused(scene, o, d, 3)
         monkeypatch.setenv("RT_CULL", "0")
