@@ -229,11 +229,11 @@ def _box_block_bounds(row_lo, row_hi, n_valid: int, blk: int, origin):
     return order, rows[order].reshape(-1).astype(jnp.float32)
 
 
-def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
+def _block_bounds(centers, radii, n_valid: int, blk: int, origin, kind):
     """Per-block bounds for the sphere stage-1 cull, visit-ordered
     front-to-back from ``origin`` (the camera center / a ray-origin proxy).
 
-    Kind 'box' (see _cull_kind): per-block AABBs over c -+ r
+    ``kind`` 'box': per-block AABBs over c -+ r
     (_box_block_bounds layout). Kind 'sphere': bounding spheres --
     (order int32[(nb,)], bounds f32[(nb*4,)]) where bounds rows are
     [Cx, Cy, Cz, |C|^2 - R^2] per ``blk`` table rows in VISIT order and
@@ -248,7 +248,7 @@ def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
     n_pad = centers.shape[0]
     nb = n_pad // blk
     r3 = radii[:, None]
-    if _cull_kind() == "box":
+    if kind == "box":
         return _box_block_bounds(
             centers - r3, centers + r3, n_valid, blk, origin
         )
@@ -268,15 +268,15 @@ def _block_bounds(centers, radii, n_valid: int, blk: int, origin):
     return _order_bounds(ctr, rad, has, origin)
 
 
-def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int, origin):
-    """Triangle analog of ``_block_bounds``: per-block bound (kind 'box':
-    AABB; kind 'sphere': bounding sphere) over the triangles' vertices
+def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int, origin, kind):
+    """Triangle analog of ``_block_bounds``: per-block bound (``kind``
+    'box': AABB; 'sphere': bounding sphere) over the triangles' vertices
     (v0, v0+e1, v0+e2), visit-ordered front-to-back from ``origin``."""
     p1 = v0 + e1
     p2 = v0 + e2
     tlo = jnp.minimum(jnp.minimum(v0, p1), p2)
     thi = jnp.maximum(jnp.maximum(v0, p1), p2)
-    if _cull_kind() == "box":
+    if kind == "box":
         return _box_block_bounds(tlo, thi, m_valid, blk, origin)
     m_pad = v0.shape[0]
     nb = m_pad // blk
@@ -474,10 +474,12 @@ _CULL_GRAZE_EPS = 5.0e-3
 _CULL_SLAB_EPS = 1.0e-5
 
 
-def _gate_pre(rows, a, d_dot_o, o_dot_o, ta):
-    """Per-sweep precomputes for ``_cull_gate``, tagged with the bound kind
-    (static). Hoisted out of the per-block fori by every gated sweep so the
-    gate's per-(group, block) work stays O(1) vector ops.
+def _gate_pre(rows, a, d_dot_o, o_dot_o, ta, kind):
+    """Per-sweep precomputes for ``_cull_gate`` under bound kind ``kind``
+    (static; from the cull tuple, which carries the SAME kind the bound
+    table was packed with -- see _aux_scene_inputs). Hoisted out of the
+    per-block fori by every gated sweep so the gate's per-(group, block)
+    work stays O(1) vector ops.
 
     'sphere': Cauchy-Schwarz magnitude inputs for the quadratic bound test.
     'box': safe per-axis reciprocals of d (sign-preserving clamp away from
@@ -486,11 +488,8 @@ def _gate_pre(rows, a, d_dot_o, o_dot_o, ta):
     absolute values the margins need.
     """
     ox, oy, oz, dx, dy, dz = rows
-    if _cull_kind() != "box":
-        return (
-            "sphere", a, d_dot_o, o_dot_o, ta, jnp.sqrt(a),
-            jnp.sqrt(o_dot_o),
-        )
+    if kind != "box":
+        return (a, d_dot_o, o_dot_o, ta, jnp.sqrt(a), jnp.sqrt(o_dot_o))
     so = jnp.sqrt(o_dot_o)
 
     def inv(c):
@@ -503,7 +502,7 @@ def _gate_pre(rows, a, d_dot_o, o_dot_o, ta):
     iv = (inv(dx), inv(dy), inv(dz))
     oi = (ox * iv[0], oy * iv[1], oz * iv[2])
     return (
-        "box", a, ta, so, iv,
+        a, so, iv,
         tuple(jnp.abs(v) for v in iv),
         oi,
         tuple(jnp.abs(v) for v in oi),
@@ -523,8 +522,18 @@ def _cull_gate_box(cull, b, pre, t_sub, carry, *, id_mask, scaled_key,
     root rounding, incl. grazing discriminant flips) plus
     _CULL_SLAB_EPS * (|t1| + |t2| + 2|o*inv|) (the gate's own cancelling
     fma/divide rounding), then the same compare slack vs the packed-key
-    upper bound as the sphere gate. Bit-transparent (tested)."""
-    ord_ref, bnd_ref, act = cull
+    upper bound as the sphere gate. Bit-transparent (tested).
+
+    The vote is FAIL-CLOSED under NaN: slab products (coord * clamped
+    inv_d, up to 1e30 for an exactly-axis-parallel lane) can overflow f32
+    past |coord| ~3e8, and inf - inf = NaN. The pass predicate is written
+    as the NEGATION of reject comparisons, so NaN (every compare false)
+    means PASS -- a conservatively swept block, never a wrong cull. A
+    legitimate miss is a FINITE inverted window (tn > tf) and still
+    rejects. (The sphere gate's NaN convention is the opposite -- its NaN
+    discriminant genuinely means 'no intersection' -- so each gate
+    documents its own.)"""
+    ord_ref, bnd_ref, act, _ = cull
     lox = bnd_ref[8 * b]
     loy = bnd_ref[8 * b + 1]
     loz = bnd_ref[8 * b + 2]
@@ -533,7 +542,7 @@ def _cull_gate_box(cull, b, pre, t_sub, carry, *, id_mask, scaled_key,
     hiz = bnd_ref[8 * b + 5]
     bmag = bnd_ref[8 * b + 6]
     bval = bnd_ref[8 * b + 7]
-    _, a, ta, so, iv, aiv, oi, aoi = pre
+    a, so, iv, aiv, oi, aoi = pre
     anyv = jnp.zeros((1, 128), jnp.int32)
     for g in range(t_sub):
         sl = slice(g, g + 1)
@@ -553,21 +562,24 @@ def _cull_gate_box(cull, b, pre, t_sub, carry, *, id_mask, scaled_key,
         tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
         tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
         cur_hi = pltpu.bitcast(carry[g] | id_mask, jnp.float32)
+        # NEGATED reject form: NaN from slab-product overflow compares
+        # false in every reject test, so such lanes PASS (fail-closed).
         if scaled_key:
             # Sphere keys are unscaled roots n = a*t.
-            passg = (
-                (tf >= tn)
-                & (tf > _T_MIN * 0.999)
-                & (tn * a[sl] <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi))
+            rej = (
+                (tn > tf)
+                | (tf <= _T_MIN * 0.999)
+                | (tn * a[sl] > cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi))
             )
         else:
             # Triangle keys are approximate t (2^-12 reciprocal); same 1%
             # compare slack as the sphere-bound gate's triangle regime.
-            passg = (
-                (tf >= tn)
-                & (tf > _T_MIN * 0.99)
-                & (tn <= cur_hi + 0.01 * jnp.abs(cur_hi) + 1.0e-3)
+            rej = (
+                (tn > tf)
+                | (tf <= _T_MIN * 0.99)
+                | (tn > cur_hi + 0.01 * jnp.abs(cur_hi) + 1.0e-3)
             )
+        passg = ~rej
         if act is not None:
             passg = passg & act[sl]
         anyv = anyv | passg.astype(jnp.int32)
@@ -602,17 +614,18 @@ def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
     done, wave draining) are masked out of the vote so they cannot force
     blocks other lanes culled.
 
-    ``pre`` comes from ``_gate_pre`` (hoisted per sweep); its static tag
-    picks the bound shape -- 'box' dispatches to ``_cull_gate_box``.
+    ``pre`` comes from ``_gate_pre`` (hoisted per sweep); the cull tuple's
+    static kind tag (matching the packed bound-table layout) picks the
+    bound shape -- 'box' dispatches to ``_cull_gate_box``.
     """
-    if pre[0] == "box":
+    if cull[3] == "box":
         return _cull_gate_box(
             cull, b, pre, t_sub, carry,
             id_mask=id_mask, scaled_key=scaled_key, body=body,
         )
     ox, oy, oz, dx, dy, dz = rows
-    _, a, d_dot_o, o_dot_o, ta, sa, so = pre
-    ord_ref, bnd_ref, act = cull
+    a, d_dot_o, o_dot_o, ta, sa, so = pre
+    ord_ref, bnd_ref, act, _ = cull
     bcx = bnd_ref[4 * b]
     bcy = bnd_ref[4 * b + 1]
     bcz = bnd_ref[4 * b + 2]
@@ -740,7 +753,7 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
         return tuple(out)
 
     if cull is not None:
-        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta, cull[3])
 
     def blk_step_all(b, kmins):
         if cull is None:
@@ -1217,7 +1230,7 @@ def _closest_sphere_two_level(
         return tuple(out)
 
     if cull is not None:
-        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta, cull[3])
 
     def blk_step_all(b, kwins):
         if cull is None:
@@ -1363,7 +1376,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
     ta = _T_MIN * a
 
     if cull is not None:
-        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta, cull[3])
 
     def blk_step_all(b, kmins):
         if cull is None:
@@ -1476,7 +1489,7 @@ def _closest_tri_two_level(
     ta = _T_MIN * a
 
     if cull is not None:
-        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta)
+        pre = _gate_pre(rows, a, d_dot_o, o_dot_o, ta, cull[3])
 
     def blk_step_all(b, kwins):
         if cull is None:
@@ -2014,8 +2027,8 @@ def _regen_kernel(
     mxu_cols: int = 0,
     tex_mxu: bool = False,
     tri_mxu: bool = False,
-    sph_cull: bool = False,
-    tri_cull: bool = False,
+    sph_cull: bool | str = False,   # False | 'sphere' | 'box' (bound kind)
+    tri_cull: bool | str = False,
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
@@ -2090,12 +2103,12 @@ def _regen_kernel(
         # Cull tuples carry this iteration's active-lane mask: lanes done
         # with every sample keep tracing a stale ray (the wave runs until
         # ALL lanes finish) and must not force blocks others culled.
-        sc = (*sph_bnd, active) if sph_bnd is not None else None
+        sc = (*sph_bnd, active, sph_cull) if sph_bnd is not None else None
         trs = tris
         if tris is not None:
             trs = (
                 tris[0], tris[1], tris[2],
-                (*tris[3], active) if tris[3] is not None else None,
+                (*tris[3], active, tri_cull) if tris[3] is not None else None,
             )
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),
@@ -2168,7 +2181,10 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
 
     Returns ``(inputs, specs, kflags)`` where ``kflags`` are the
     keyword flags both kernels share (tex_plane, tri_pad, mxu_cols,
-    tex_mxu, tri_mxu, sph_cull, tri_cull).
+    tex_mxu, tri_mxu, sph_cull, tri_cull). ``sph_cull``/``tri_cull`` are
+    False (no cull operands) or the bound KIND string ('sphere' | 'box')
+    the table was packed with -- the kernels thread it into the cull
+    tuples so the in-kernel gate always matches the packed layout.
     """
     inputs = ()
     specs = []
@@ -2182,13 +2198,17 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
         mxu_cols = 11 if scene.has_textures else 7
         inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
         specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    sph_cull = _cull_enabled() and n_pad > _SWEEP_ROWS
-    if sph_cull:
+    sph_cull = False
+    if _cull_enabled() and n_pad > _SWEEP_ROWS:
         # Per-block bounds for the stage-1 conservative reject (SMEM:
         # visit order int32[nb] + 4 (sphere kind) or 8 (box kind) f32
         # scalars per sweep block, front-to-back from the origin proxy).
+        # sph_cull carries the KIND (one env read here) so the in-kernel
+        # gate branch always matches the packed table layout.
+        sph_cull = _cull_kind()
         s_ord, s_bnd = _block_bounds(
-            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, origin_proxy
+            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, origin_proxy,
+            sph_cull,
         )
         inputs = (*inputs, s_ord, s_bnd)
         specs = [*specs] + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -2227,11 +2247,11 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
             if _two_level_enabled(tri_pad, tri=True)
             else min(tri_pad, _SWEEP_ROWS)
         )
-        tri_cull = _cull_enabled() and tri_pad > tri_blk_rows
-        if tri_cull:
+        if _cull_enabled() and tri_pad > tri_blk_rows:
+            tri_cull = _cull_kind()
             t_ord, t_bnd = _tri_block_bounds(
                 tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
-                tri_m, tri_blk_rows, origin_proxy,
+                tri_m, tri_blk_rows, origin_proxy, tri_cull,
             )
             inputs = (*inputs, t_ord, t_bnd)
             specs = [*specs] + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -2475,8 +2495,8 @@ def _trace_kernel(
     mxu_cols: int = 0,
     tex_mxu: bool = False,
     tri_mxu: bool = False,
-    sph_cull: bool = False,
-    tri_cull: bool = False,
+    sph_cull: bool | str = False,   # False | 'sphere' | 'box' (bound kind)
+    tri_cull: bool | str = False,
 ):
     rest = list(rest)
     mxu = (rest.pop(0), mxu_cols) if mxu_cols else None
@@ -2533,12 +2553,12 @@ def _trace_kernel(
         # Dead lanes (alive_f 0) idle until the whole tile finishes; mask
         # them out of the cull so they can't force blocks (stale rays).
         act = alive_f > 0.5
-        sc = (*sph_bnd, act) if sph_bnd is not None else None
+        sc = (*sph_bnd, act, sph_cull) if sph_bnd is not None else None
         trs = tris
         if tris is not None:
             trs = (
                 tris[0], tris[1], tris[2],
-                (*tris[3], act) if tris[3] is not None else None,
+                (*tris[3], act, tri_cull) if tris[3] is not None else None,
             )
         out = _bounce_core(
             refs, (ox, oy, oz, dx, dy, dz), (u1, u2, u3),

@@ -467,6 +467,101 @@ def test_renderer_mesh_pallas_vs_xla_image():
 
 
 @pytest.mark.parametrize("kind", ["sphere", "box"])
+def test_pallas_mesh_cull_bit_transparent_dynamic_range(monkeypatch, kind):
+    """Triangle cull bit-transparency in the HOSTILE regime: 600 small
+    disconnected triangles (edge ~0.05) on a 0.4 shell at distance 1000
+    (m_pad 1024, two-level path, 256-row cull blocks), rays aimed at edge
+    midpoints of the most positive-x triangles with EXACTLY axis-parallel
+    d_x = 0 from just outside the widened x-extent, plus a random-grazing
+    band. Unlike the sphere quadratic, no single-rounding-flip kill-shot is
+    CONSTRUCTIBLE for Moller-Trumbore here: its barycentric rounding band
+    is spatially ~3 eps |oc| ~ 2e-7 |oc| (edge-size-independent), always
+    ~5x under the pack-time box pad's coordinate-relative term -- measured
+    zero flips in 2048 directed candidates (scripts/probe_box_cull.py
+    --tri, analysis in its docstring). This A/B pins the scenario anyway:
+    it exercises the triangle box gate's clamped-reciprocal axis-parallel
+    path and would catch any pad/margin/layout regression that reopens the
+    class."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    C = np.array([0.0, 0.0, 1000.0])
+    tris = []
+    for _ in range(600):
+        u = rng.normal(size=3)
+        c = C + u / np.linalg.norm(u) * 0.4
+        e1 = rng.normal(size=3)
+        e1 *= 0.05 / np.linalg.norm(e1)
+        e2 = rng.normal(size=3)
+        e2 -= e1 * (e2 @ e1) / (e1 @ e1)
+        e2 *= 0.05 / np.linalg.norm(e2)
+        tris.append((c, c + e1, c + e2))
+    verts = np.asarray(tris, np.float32).reshape(-1, 3)
+    faces = np.arange(len(tris) * 3, dtype=np.int32).reshape(-1, 3)
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, 0.0, -50.0), 1.0, (0.9, 0.9, 0.9), 0.0)
+    b.add_mesh(verts, faces, albedo=(0.9, 0.9, 0.9),
+               kind=MaterialKind.METALLIC, fuzz=0.0)
+    scene = b.build()
+    monkeypatch.setenv("RT_CULL", kind)
+    jax.clear_caches()
+    import raytracing_tpu.ops.pallas.trace as ptrace
+
+    tri_table, tri_m = ptrace.pack_triangles(scene)
+    m_pad = tri_table.shape[0]
+    blk = ptrace._tri_blk(m_pad)
+    _, bnd = ptrace._tri_block_bounds(
+        tri_table[:, 0:3], tri_table[:, 3:6], tri_table[:, 6:9],
+        tri_m, blk, jnp.zeros((3,), jnp.float32), kind,
+    )
+    bnd = np.asarray(bnd)
+    tarr = np.asarray(tris)
+    if kind == "box":
+        bnd = bnd.reshape(-1, 8)
+        hix = bnd[bnd[:, 7] > 0.5, 3].max()
+    else:
+        bnd = bnd.reshape(-1, 4)
+        cm2 = bnd[:, 3]
+        live = cm2 < 1.0e37
+        rad = np.sqrt((bnd[live, :3] ** 2).sum(1) - cm2[live])
+        hix = (bnd[live, 0] + rad).max()
+    X0 = np.float32(hix + 2.0e-4)
+    # Tile 1: 1024 edge-aimed axis-parallel rays. Tile 2: 1024 random rays
+    # grazing the cluster from the origin (genuine hits tighten cur_hi so
+    # far blocks face a real t-test).
+    vmax = tarr.max(axis=1)[:, 0]
+    order = np.argsort(-vmax)
+    dirs = []
+    i = 0
+    while len(dirs) < 1024:
+        a3, b3, c3 = tarr[order[i % 16]]
+        mid = 0.5 * (a3 if i % 3 else b3) + 0.5 * c3
+        aim = mid + rng.normal(size=3) * 5.0e-3
+        dyz = aim[1:] / np.linalg.norm(aim[1:])
+        dirs.append([0.0, dyz[0], dyz[1]])
+        i += 1
+    d1 = np.asarray(dirs, np.float32)
+    d1[:, 0] = 0.0
+    o1 = np.tile(np.array([X0, 0.0, 0.0], np.float32), (1024, 1))
+    aim2 = C + rng.normal(size=(1024, 3)) * 0.45
+    d2 = (aim2 / np.linalg.norm(aim2, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    o2 = np.zeros((1024, 3), np.float32)
+    o = jnp.asarray(np.concatenate([o1, o2]), jnp.float32)
+    d = jnp.asarray(np.concatenate([d1, d2]), jnp.float32)
+    try:
+        rad_cull, seg_cull = _run_fused_rays(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
+        rad_ref, seg_ref = _run_fused_rays(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
+
+
+@pytest.mark.parametrize("kind", ["sphere", "box"])
 def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
     """Triangle analog of test_sphere_cull_bit_transparent: the per-block
     reject (both bound kinds: bounding sphere and AABB) over the 256-row

@@ -577,7 +577,7 @@ def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
     blk = min(n_pad, ptrace._SWEEP_ROWS)
     _, bnd = ptrace._block_bounds(
         np.asarray(geh[:, :3]), np.asarray(shade[:, 3]), n, blk,
-        jnp.zeros((3,), jnp.float32),
+        jnp.zeros((3,), jnp.float32), kind,
     )
     bnd = np.asarray(bnd)
     if kind == "box":
@@ -595,6 +595,43 @@ def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
     o = jnp.asarray(
         np.tile(np.array([X0, 0.0, 0.0], np.float32), (1024, 1)), jnp.float32
     )
+    try:
+        rad_cull, seg_cull = _run_fused(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
+        rad_ref, seg_ref = _run_fused(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
+
+
+def test_cull_box_overflow_fail_closed(monkeypatch):
+    """Box-gate bit-transparency when slab products OVERFLOW f32: scene
+    coordinates ~1e9 with exactly-axis-parallel rays drive
+    coord * clamped-reciprocal to inf and inf - inf = NaN inside the gate.
+    The vote is written as negated reject comparisons so NaN lanes PASS
+    (conservatively swept block) instead of wrongly culling; radiance must
+    stay byte-identical vs culling off. Mixed with huge-|o| rays so both
+    the t1/t2 products and o*inv overflow paths are exercised."""
+    rng = np.random.default_rng(17)
+    b = SceneBuilder()
+    for _ in range(600):
+        c = rng.normal(size=3) * 1.0e9
+        b.add_metallic_sphere(tuple(c), abs(rng.normal()) * 1.0e7 + 1.0e6,
+                              (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    n = 1024
+    keys = _keys(n, seed=23)
+    d3 = np.array(rrng.unit_vector(keys))
+    # Half the rays exactly axis-parallel (d_x = 0), half generic; origins
+    # at 1e9 scale so o*inv overflows too for the parallel axis.
+    d3[: n // 2, 0] = 0.0
+    o3 = rng.normal(size=(n, 3)) * 1.0e9
+    d = jnp.asarray(d3, jnp.float32)
+    o = jnp.asarray(o3, jnp.float32)
+    monkeypatch.setenv("RT_CULL", "box")
+    jax.clear_caches()
     try:
         rad_cull, seg_cull = _run_fused(scene, o, d, 3)
         monkeypatch.setenv("RT_CULL", "0")
