@@ -687,9 +687,10 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
     matmuls -- so the sweep stays on the VPU.) Padding rows carry
     cq = +1e30 so their discriminant is always negative: no validity mask.
 
-    ``cull``: optional (ord_ref, bnd_ref, act) per-block conservative
+    ``cull``: optional (ord_ref, bnd_ref, act, kind) per-block conservative
     reject, identical to _closest_sphere_two_level's (front-to-back visit
-    order, bit-transparent skips) -- used by multi-block FLAT sweeps now
+    order, bit-transparent skips; ``kind`` is the static bound-shape tag
+    matching the packed table layout) -- used by multi-block FLAT sweeps now
     that the flat path is preferred up to 2048 rows (threshold A/B,
     BASELINE.md round 3).
 
@@ -1314,7 +1315,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
     by the id bits; the winner's exact t is recomputed in ``_tri_winner``).
     Padding rows have e1 = e2 = 0 => det = 0 => never valid.
 
-    ``cull``: optional (ord_ref, bnd_ref, act) per-block conservative
+    ``cull``: optional (ord_ref, bnd_ref, act, kind) per-block conservative
     reject (see _closest_tri_two_level) for multi-block flat sweeps.
 
     Returns packed i32 keys (t bits | triangle id), ``_BIGF`` based on miss.

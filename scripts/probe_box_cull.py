@@ -43,10 +43,6 @@ from __future__ import annotations
 
 import os
 
-# Force the box kind regardless of inherited shell state: the bounds table
-# below is parsed with the 8-wide box layout.
-os.environ["RT_CULL"] = "box"
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,8 +150,15 @@ def tri_mode(rng):
     hit = (rad == 0.0).all(axis=1)
     print(f"grazing hits found: {hit.sum()} / {n_rays}")
     if not hit.any():
-        print("NO kill-shot candidate; widen the search")
-        return 1
+        # EXPECTED healthy outcome (see module docstring): M-T's rounding
+        # band sits ~5x under the pack-time pad at every scale, so no
+        # triangle kill-shot is constructible in this class. A future hit
+        # means that analysis went stale -- the confirmation flow below
+        # then checks the margins still hold.
+        print("confirmed: no triangle kill-shot constructible (expected)")
+        return 0
+    print("UNEXPECTED: candidates found -- the probe docstring's "
+          "no-kill-shot analysis is stale; confirming margins hold anyway")
     kill = d[np.nonzero(hit)[0][0]]
     print("kill direction:", repr(kill.tolist()), "origin X0:", repr(float(X0)))
 

@@ -482,27 +482,22 @@ def test_pallas_mesh_cull_bit_transparent_dynamic_range(monkeypatch, kind):
     it exercises the triangle box gate's clamped-reciprocal axis-parallel
     path and would catch any pad/margin/layout regression that reopens the
     class."""
+    import importlib.util
+    import pathlib
+
     import jax
 
+    # The scene is shared with the probe that recorded the no-kill-shot
+    # analysis (single source so they cannot desynchronize).
+    spec = importlib.util.spec_from_file_location(
+        "probe_box_cull",
+        pathlib.Path(__file__).parent.parent / "scripts" / "probe_box_cull.py",
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
     rng = np.random.default_rng(5)
+    scene, tris = probe.build_tri_scene(rng)
     C = np.array([0.0, 0.0, 1000.0])
-    tris = []
-    for _ in range(600):
-        u = rng.normal(size=3)
-        c = C + u / np.linalg.norm(u) * 0.4
-        e1 = rng.normal(size=3)
-        e1 *= 0.05 / np.linalg.norm(e1)
-        e2 = rng.normal(size=3)
-        e2 -= e1 * (e2 @ e1) / (e1 @ e1)
-        e2 *= 0.05 / np.linalg.norm(e2)
-        tris.append((c, c + e1, c + e2))
-    verts = np.asarray(tris, np.float32).reshape(-1, 3)
-    faces = np.arange(len(tris) * 3, dtype=np.int32).reshape(-1, 3)
-    b = SceneBuilder()
-    b.add_metallic_sphere((0.0, 0.0, -50.0), 1.0, (0.9, 0.9, 0.9), 0.0)
-    b.add_mesh(verts, faces, albedo=(0.9, 0.9, 0.9),
-               kind=MaterialKind.METALLIC, fuzz=0.0)
-    scene = b.build()
     monkeypatch.setenv("RT_CULL", kind)
     jax.clear_caches()
     import raytracing_tpu.ops.pallas.trace as ptrace
@@ -551,10 +546,12 @@ def test_pallas_mesh_cull_bit_transparent_dynamic_range(monkeypatch, kind):
     o = jnp.asarray(np.concatenate([o1, o2]), jnp.float32)
     d = jnp.asarray(np.concatenate([d1, d2]), jnp.float32)
     try:
-        rad_cull, seg_cull = _run_fused_rays(scene, o, d, 3)
+        # depth 2 keeps the always-run suite lean; the gate's hostile
+        # paths are all exercised on the first two segments.
+        rad_cull, seg_cull = _run_fused_rays(scene, o, d, 2)
         monkeypatch.setenv("RT_CULL", "0")
         jax.clear_caches()
-        rad_ref, seg_ref = _run_fused_rays(scene, o, d, 3)
+        rad_ref, seg_ref = _run_fused_rays(scene, o, d, 2)
     finally:
         jax.clear_caches()
     assert seg_cull == seg_ref

@@ -607,38 +607,49 @@ def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
 
 
 def test_cull_box_overflow_fail_closed(monkeypatch):
-    """Box-gate bit-transparency when slab products OVERFLOW f32: scene
-    coordinates ~1e9 with exactly-axis-parallel rays drive
-    coord * clamped-reciprocal to inf and inf - inf = NaN inside the gate.
-    The vote is written as negated reject comparisons so NaN lanes PASS
-    (conservatively swept block) instead of wrongly culling; radiance must
-    stay byte-identical vs culling off. Mixed with huge-|o| rays so both
-    the t1/t2 products and o*inv overflow paths are exercised."""
+    """Box-gate bit-transparency when slab products OVERFLOW f32: at
+    |coord| ~ 1e9, an exactly-axis-parallel lane's coord * clamped-1e30
+    reciprocal is inf and inf - inf = NaN inside the gate. The vote is
+    written as negated reject comparisons so NaN lanes PASS (conservatively
+    swept block) instead of wrongly culling.
+
+    Teeth (the first draft of this test had none -- review catch): a
+    UNIFORM 1024-ray tile, every lane d_x = 0.0 aimed exactly THROUGH a
+    cluster sphere's center (guaranteed TRUE hit) with o_x = c_x ~ +1e9
+    and the block's lo_x/hi_x ~ +1e9, so lo*inv = +inf and o*inv = +inf
+    give NaN on the x axis for EVERY lane -- no generic lane can rescue
+    the vote. A positive-form vote (NaN -> no pass) culls the winning
+    block and loses the hit; the shipped negated form must stay
+    byte-identical vs culling off."""
     rng = np.random.default_rng(17)
     b = SceneBuilder()
+    C = np.array([1.2e9, 3.0e8, 9.0e8])
+    centers = []
     for _ in range(600):
-        c = rng.normal(size=3) * 1.0e9
-        b.add_metallic_sphere(tuple(c), abs(rng.normal()) * 1.0e7 + 1.0e6,
-                              (0.9, 0.9, 0.9), 0.0)
+        u = rng.normal(size=3)
+        c = C + u / np.linalg.norm(u) * 4.0e8 * rng.uniform(0.3, 1.0)
+        c = np.abs(c)  # keep every coordinate positive: inf - inf, not inf+inf
+        centers.append(c)
+        b.add_metallic_sphere(tuple(c), 2.0e6, (0.9, 0.9, 0.9), 0.0)
     scene = b.build()
-    n = 1024
-    keys = _keys(n, seed=23)
-    d3 = np.array(rrng.unit_vector(keys))
-    # Half the rays exactly axis-parallel (d_x = 0), half generic; origins
-    # at 1e9 scale so o*inv overflows too for the parallel axis.
-    d3[: n // 2, 0] = 0.0
-    o3 = rng.normal(size=(n, 3)) * 1.0e9
-    d = jnp.asarray(d3, jnp.float32)
-    o = jnp.asarray(o3, jnp.float32)
+    c0 = centers[0]
+    dyz = np.array([0.0, c0[1], c0[2]])
+    dyz = dyz / np.linalg.norm(dyz)
+    # Origin on the ray through c0's center, x pinned to c0's x exactly.
+    o0 = np.array([c0[0], c0[1] - 5.0e8 * dyz[1], c0[2] - 5.0e8 * dyz[2]])
+    d = jnp.asarray(np.tile(dyz, (1024, 1)), jnp.float32)
+    o = jnp.asarray(np.tile(o0, (1024, 1)), jnp.float32)
     monkeypatch.setenv("RT_CULL", "box")
     jax.clear_caches()
     try:
-        rad_cull, seg_cull = _run_fused(scene, o, d, 3)
+        rad_cull, seg_cull = _run_fused(scene, o, d, 2)
         monkeypatch.setenv("RT_CULL", "0")
         jax.clear_caches()
-        rad_ref, seg_ref = _run_fused(scene, o, d, 3)
+        rad_ref, seg_ref = _run_fused(scene, o, d, 2)
     finally:
         jax.clear_caches()
+    # The tile must actually trace a hit (else the A/B is vacuous).
+    assert seg_ref > 1024, seg_ref
     assert seg_cull == seg_ref
     assert np.array_equal(rad_cull, rad_ref)
 
