@@ -86,6 +86,22 @@ def _knob(name: str, default: str) -> str:
       RT_CULL           '1' (default kind) | 'box' | 'sphere' | '0' (off):
                         per-block conservative reject in the multi-block
                         stage-1 sweeps, and which bound shape gates it
+      RT_FLAT_BLK       sweep block rows of the FLAT sphere path only
+                        (default RT_SWEEP_ROWS; power of two in
+                        [128, RT_SWEEP_ROWS]). Finer blocks turn a
+                        <= RT_SWEEP_ROWS scene into a multi-block CULLED
+                        sweep (cover's 512 rows at 128 = 4 front-to-back
+                        gated blocks) -- the pending cover block-size
+                        hardware A/B; output is block-size-invariant
+                        (absolute row ids; tests/test_sweep_rows.py)
+      RT_SWEEP_FMA      '0' (default) | '1': fma-chain association of the
+                        flat sweep quadratic (pending hardware A/B).
+                        Saves ~2 vector ops per candidate IF Mosaic fuses
+                        mul+add chains (h as a 3-fma chain ending in the
+                        hoisted -d.o accumulator; a*cq built directly from
+                        per-group pre-scaled a*o terms). NOT bit-identical
+                        to the default (last-ulp rounding moves), so it
+                        ships only after the XLA-oracle + golden review
 
     Import-time knobs (RT_SWEEP_ROWS, RT_WIN) are validated below -- a bad
     value raises instead of silently skipping scene rows. Call-time knobs
@@ -157,6 +173,44 @@ def _tri_blk(m_pad: int) -> int:
     sphere path's _SWEEP_ROWS: the Moller-Trumbore live set x 8 ray groups
     exceeded the scoped-vmem limit at 512)."""
     return min(m_pad, max(_WIN, _SWEEP_ROWS // 2))
+
+
+def _flat_blk(n_pad: int) -> int:
+    """Sweep block rows of the FLAT (single-level) sphere closest hit.
+
+    Trace-time knob RT_FLAT_BLK (default _SWEEP_ROWS). Unlike the
+    import-time RT_SWEEP_ROWS it touches ONLY the flat sphere sweep --
+    triangle block sizes, two-level thresholds and _WIN are unchanged --
+    so it is the clean per-path lever: finer blocks turn a
+    <= _SWEEP_ROWS scene into a multi-block sweep with the per-block
+    conservative cull active (cover's 512 rows at 128 = 4 front-to-back
+    gated blocks), trading more scalar gate conds for primary-tile block
+    skips. The closest-hit keys carry ABSOLUTE row ids under an
+    n_pad-derived mask, so the rendered image is block-size-INVARIANT
+    (tests/test_sweep_rows.py; in-process A/B in test_pallas.py).
+    _aux_scene_inputs builds the cull bound tables at the same
+    granularity -- both read this one function, so the packed table and
+    the traced sweep can never disagree."""
+    blk = int(_knob("RT_FLAT_BLK", str(_SWEEP_ROWS)))
+    if not (128 <= blk <= _SWEEP_ROWS) or (blk & (blk - 1)) != 0:
+        raise ValueError(
+            f"RT_FLAT_BLK={blk} must be a power of two in "
+            f"[128, {_SWEEP_ROWS}] (scene tables are padded in "
+            "power-of-two row counts; a non-dividing block size would "
+            "silently skip scene rows)"
+        )
+    return min(n_pad, blk)
+
+
+def _sweep_fma() -> bool:
+    """Trace-time selector for the fma-chain association of the flat
+    sweep quadratic (RT_SWEEP_FMA; see _knob and the variant comments in
+    ``_sweep``). Default OFF: the variant perturbs last-ulp rounding, so
+    it is an A/B candidate, not yet the production form."""
+    v = _knob("RT_SWEEP_FMA", "0")
+    if v not in ("0", "1"):
+        raise ValueError(f"RT_SWEEP_FMA={v!r} must be '0' or '1'")
+    return v == "1"
 
 
 def _order_bounds(ctr, rad, has, origin):
@@ -704,11 +758,24 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
     o_dot_o = ox * ox + oy * oy + oz * oz
     ta = _T_MIN * a
     pack_mask = (1 << _pack_bits(n_pad)) - 1
-    blk = min(n_pad, _SWEEP_ROWS)
+    blk = _flat_blk(n_pad)
     nohit = jnp.full((1, 128), _f32_bits(_BIGF) & ~pack_mask, jnp.int32)
 
     n_blocks = n_pad // blk
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+
+    fma_form = _sweep_fma()
+    if fma_form:
+        # Per-group invariants of the fma-chain variant, hoisted out of
+        # the block loop: the negated d.o accumulator seeds h's chain and
+        # the a-prescaled origin terms let a*cq be built WITHOUT the
+        # separate a[sl] * cq product (delta then fuses as one
+        # multiply-subtract). Tiny (1, 128) tiles, block-loop-invariant.
+        neg_ddo = tuple(-d_dot_o[g : g + 1] for g in range(t_sub))
+        aox = tuple(a[g : g + 1] * ox[g : g + 1] for g in range(t_sub))
+        aoy = tuple(a[g : g + 1] * oy[g : g + 1] for g in range(t_sub))
+        aoz = tuple(a[g : g + 1] * oz[g : g + 1] for g in range(t_sub))
+        aoo = tuple(a[g : g + 1] * o_dot_o[g : g + 1] for g in range(t_sub))
 
     # Block-major: each block's 7 column loads are issued ONCE for all
     # t_sub ray groups (Mosaic does not CSE per-group re-loads; see the
@@ -726,19 +793,34 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
         out = []
         for g in range(t_sub):
             sl = slice(g, g + 1)
-            # h = d.(c-o); cq = |o-c|^2 - r^2   (object.defs.cc:43-46)
-            h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
-            cq = (
-                cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl]
-                + o_dot_o[sl]
-            )
+            if fma_form:
+                # RIGHT-associated mul+add chains so every level is
+                # fusable into one fma: h seeds with -d.o, a*cq is built
+                # directly from the prescaled terms, and delta needs no
+                # standalone a*cq product. Identical mathematics, last
+                # ulp moves (RT_SWEEP_FMA A/B candidate, default off).
+                h = cx * dx[sl] + (
+                    cy * dy[sl] + (cz * dz[sl] + neg_ddo[g])
+                )
+                acq = cm2 * a[sl] + (
+                    m2cx * aox[g]
+                    + (m2cy * aoy[g] + (m2cz * aoz[g] + aoo[g]))
+                )
+            else:
+                # h = d.(c-o); cq = |o-c|^2 - r^2 (object.defs.cc:43-46)
+                h = cx * dx[sl] + cy * dy[sl] + cz * dz[sl] - d_dot_o[sl]
+                cq = (
+                    cm2 + m2cx * ox[sl] + m2cy * oy[sl] + m2cz * oz[sl]
+                    + o_dot_o[sl]
+                )
+                acq = a[sl] * cq
             # Unscaled roots n = a*t = h -+ sqrt(h^2 - a*cq): same
             # ordering and sign as t (a > 0 constant per ray), so the
             # interval test t > T_MIN becomes n > T_MIN * a with no
             # per-pair division. No max(delta, 0): sqrt of a negative
             # gives NaN and every compare with NaN is false, so misses
             # fall through to the BIG key free.
-            delta = h * h - a[sl] * cq
+            delta = h * h - acq
             sq = jnp.sqrt(delta)
             n1 = h - sq
             n2 = h + sq
@@ -2200,7 +2282,16 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
         inputs = (pack_scene(scene, with_win_planes=mxu_cols)[4],)
         specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     sph_cull = False
-    if _cull_enabled() and n_pad > _SWEEP_ROWS:
+    # The bound-table granularity must equal the sweep's block rows: the
+    # two-level stage 1 always uses _SWEEP_ROWS-row blocks, the flat sweep
+    # reads the RT_FLAT_BLK trace-time knob (same _flat_blk call the sweep
+    # itself makes, so they cannot diverge).
+    sph_blk = (
+        min(n_pad, _SWEEP_ROWS)
+        if _two_level_enabled(n_pad)
+        else _flat_blk(n_pad)
+    )
+    if _cull_enabled() and n_pad > sph_blk:
         # Per-block bounds for the stage-1 conservative reject (SMEM:
         # visit order int32[nb] + 4 (sphere kind) or 8 (box kind) f32
         # scalars per sweep block, front-to-back from the origin proxy).
@@ -2208,7 +2299,7 @@ def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
         # gate branch always matches the packed table layout.
         sph_cull = _cull_kind()
         s_ord, s_bnd = _block_bounds(
-            geom_h[:, :3], shade[:, 3], n_actual, _SWEEP_ROWS, origin_proxy,
+            geom_h[:, :3], shade[:, 3], n_actual, sph_blk, origin_proxy,
             sph_cull,
         )
         inputs = (*inputs, s_ord, s_bnd)

@@ -654,6 +654,93 @@ def test_cull_box_overflow_fail_closed(monkeypatch):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+def test_flat_blk_knob_invariance(monkeypatch):
+    """RT_FLAT_BLK (trace-time flat-sweep block size, the shippable lever
+    of the cover block-size A/B) must not change the image: a 300-sphere
+    scene (n_pad 512) rendered at the default single 512-row block, then
+    at 128-row blocks under every cull kind and at 256-row blocks, all
+    byte-equal. 128/256 make the flat path MULTI-block, so this also
+    pins that _aux_scene_inputs packs the cull bound tables at the knob's
+    granularity (a mismatch culls wrong blocks and diverges loudly)."""
+    rng = np.random.default_rng(23)
+    b = SceneBuilder()
+    for _ in range(300):
+        b.add_metallic_sphere(rng.normal(size=3) * 6, rng.uniform(0.2, 0.5),
+                              (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    n = 1024
+    keys = _keys(n, seed=14)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    try:
+        rad_ref, seg_ref = _run_fused(scene, o, d, 3)
+        for blk, kind in (
+            ("128", "sphere"), ("128", "box"), ("128", "0"), ("256", "1")
+        ):
+            monkeypatch.setenv("RT_FLAT_BLK", blk)
+            monkeypatch.setenv("RT_CULL", kind)
+            jax.clear_caches()
+            rad, seg = _run_fused(scene, o, d, 3)
+            assert seg == seg_ref, (blk, kind)
+            assert np.array_equal(rad, rad_ref), (blk, kind)
+    finally:
+        jax.clear_caches()
+
+
+def test_sweep_fma_matches_oracle(monkeypatch):
+    """RT_SWEEP_FMA=1 (fma-chain flat sweep, hardware A/B candidate) is
+    NOT bit-identical to the default -- the association changes last-ulp
+    rounding -- but it must satisfy the same correctness bar as the
+    default form: identical traced-segment count and radiance vs the XLA
+    wavefront oracle, bounded exactly like the default-form test above
+    (test_scene_larger_than_sweep_window): with 600 overlapping metal
+    spheres a handful of near-tied winners may flip -- here additionally
+    because the fma chain moves the last ulp of the roots -- so >= 99.5%
+    of rays must match tightly and no deviation may exceed the tie-flip
+    bound. Multi-block (n_pad 1024), cull on."""
+    rng = np.random.default_rng(31)
+    b = SceneBuilder()
+    for _ in range(600):
+        b.add_metallic_sphere(rng.normal(size=3) * 8, rng.uniform(0.2, 0.6),
+                              (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    n = 1024
+    keys = _keys(n, seed=16)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    monkeypatch.setenv("RT_SWEEP_FMA", "1")
+    jax.clear_caches()
+    try:
+        rad_p, seg_p = _run_fused(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 3)
+    assert seg_p == int(seg_x)
+    rx = np.asarray(rad_x)
+    rel = np.abs(rad_p - rx) / (np.abs(rx) + 1e-3)
+    tight = (rel <= 1e-3).all(axis=1)
+    assert tight.mean() >= 0.995, f"only {tight.mean():.4f} rays match tightly"
+    assert rel.max() < 0.05, f"tie-flip deviation too large: {rel.max()}"
+
+
+def test_flat_blk_knob_validated(monkeypatch):
+    """A bad RT_FLAT_BLK raises at trace time instead of silently skipping
+    scene rows (same posture as the import-time RT_SWEEP_ROWS checks)."""
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, 0.0, -2.0), 0.5, (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (1024, 1))
+    o = jnp.zeros((1024, 3), jnp.float32)
+    for bad in ("96", "64", "1024"):
+        monkeypatch.setenv("RT_FLAT_BLK", bad)
+        jax.clear_caches()
+        try:
+            with pytest.raises(ValueError, match="RT_FLAT_BLK"):
+                _run_fused(scene, o, d, 2)
+        finally:
+            jax.clear_caches()
+
+
 def test_launch_validation_errors():
     """Bad tile sizing raises loudly from both kernel entry points
     (shared _tile_split; a silent truncation would drop rays)."""
