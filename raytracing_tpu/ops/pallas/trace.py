@@ -83,25 +83,30 @@ def _knob(name: str, default: str) -> str:
                         huge value disables)
       RT_GATHER         'mxu' (default) | 'radix' winner-fetch backend
       RT_TWO_LEVEL_MXU  '1' (default) | '0' stage-2 window fetch on the MXU
-      RT_CULL           '1' (default kind) | 'box' | 'sphere' | '0' (off):
-                        per-block conservative reject in the multi-block
-                        stage-1 sweeps, and which bound shape gates it
+      RT_CULL           '1' (default kind: box) | 'box' | 'sphere' |
+                        '0' (off): per-block conservative reject in the
+                        multi-block stage-1 sweeps, and which bound shape
+                        gates it (box won the round-3 hardware A/B, see
+                        _CULL_DEFAULT_KIND)
       RT_FLAT_BLK       sweep block rows of the FLAT sphere path only
                         (default RT_SWEEP_ROWS; power of two in
                         [128, RT_SWEEP_ROWS]). Finer blocks turn a
                         <= RT_SWEEP_ROWS scene into a multi-block CULLED
                         sweep (cover's 512 rows at 128 = 4 front-to-back
-                        gated blocks) -- the pending cover block-size
-                        hardware A/B; output is block-size-invariant
-                        (absolute row ids; tests/test_sweep_rows.py)
+                        gated blocks) -- measured and REJECTED on cover
+                        (112.8 control vs 101.6 at 256 / 98.4 at 128:
+                        gate conds cost more than the skipped blocks
+                        save on a 1-4 block scene); kept as the probe
+                        knob; output is block-size-invariant (absolute
+                        row ids; tests/test_sweep_rows.py)
       RT_SWEEP_FMA      '0' (default) | '1': fma-chain association of the
-                        flat sweep quadratic (pending hardware A/B).
-                        Saves ~2 vector ops per candidate IF Mosaic fuses
-                        mul+add chains (h as a 3-fma chain ending in the
-                        hoisted -d.o accumulator; a*cq built directly from
-                        per-group pre-scaled a*o terms). NOT bit-identical
-                        to the default (last-ulp rounding moves), so it
-                        ships only after the XLA-oracle + golden review
+                        flat sweep quadratic -- measured and REJECTED
+                        (91.7 vs 112.8 on cover: Mosaic already schedules
+                        the plain form better than the forced chains,
+                        which serialize h into a dependent 3-fma chain).
+                        Kept as the probe knob for future toolchains;
+                        NOT bit-identical to the default (last-ulp
+                        rounding moves)
 
     Import-time knobs (RT_SWEEP_ROWS, RT_WIN) are validated below -- a bad
     value raises instead of silently skipping scene rows. Call-time knobs
@@ -135,9 +140,13 @@ if not (8 <= _WIN <= _SWEEP_ROWS) or (_WIN & (_WIN - 1)) != 0:
     )
 
 
-# Bound shape RT_CULL='1' resolves to (see _cull_kind). 'box' becomes the
-# default only after the hardware A/B + bit-transparency validation pass.
-_CULL_DEFAULT_KIND = "sphere"
+# Bound shape RT_CULL='1' resolves to (see _cull_kind). 'box' won the
+# round-3 hardware A/B (back-to-back pairs, 1080p@64spp d8, Mrays/s:
+# stress:8192 14.1 vs 7.4, stress:2048 15.8 vs 12.0, mesh:3 27.6 vs 26.7
+# -- Morton-ordered blocks are long thin boxes, so slab windows are far
+# tighter than the enclosing sphere) and is bit-transparent by the same
+# A/B tests, so it is the default; RT_CULL=sphere keeps the original gate.
+_CULL_DEFAULT_KIND = "box"
 
 
 def _cull_kind() -> str | None:
@@ -205,8 +214,10 @@ def _flat_blk(n_pad: int) -> int:
 def _sweep_fma() -> bool:
     """Trace-time selector for the fma-chain association of the flat
     sweep quadratic (RT_SWEEP_FMA; see _knob and the variant comments in
-    ``_sweep``). Default OFF: the variant perturbs last-ulp rounding, so
-    it is an A/B candidate, not yet the production form."""
+    ``_sweep``). Default OFF -- measured 19% SLOWER on cover (91.7 vs
+    112.8 Mrays/s, round-3 A/B): the forced right-associated chains
+    serialize what Mosaic otherwise schedules as independent products.
+    Kept for retesting on newer toolchains; perturbs last-ulp rounding."""
     v = _knob("RT_SWEEP_FMA", "0")
     if v not in ("0", "1"):
         raise ValueError(f"RT_SWEEP_FMA={v!r} must be '0' or '1'")
