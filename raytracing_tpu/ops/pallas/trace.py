@@ -88,6 +88,20 @@ def _knob(name: str, default: str) -> str:
                         multi-block stage-1 sweeps, and which bound shape
                         gates it (box won the round-3 hardware A/B, see
                         _CULL_DEFAULT_KIND)
+      RT_CULL_SUB       sub-boxes per cull block for the box gate (power
+                        of two in [1, 8]; see _cull_sub for the default).
+                        The block's gate becomes "any sub-AABB hittable
+                        strictly closer than best" -- K slab tests, still
+                        ONE scalar cond per block, so it tightens the
+                        bound without the measured-rejected per-group
+                        cond overhead. Ignored by the sphere gate.
+      RT_CULL_HINT      '1' (default) | '0': cross-primitive cull seeding
+                        -- the sphere winner's exact t enters the
+                        TRIANGLE cull gate as an extra per-lane upper
+                        bound (lanes that hit a closer sphere stop voting
+                        mesh blocks open; ~2 extra vector ops per
+                        (group, block) vote). Bit-transparent (see
+                        _cull_gate_box hint notes + mesh cull A/B tests).
       RT_FLAT_BLK       sweep block rows of the FLAT sphere path only
                         (default RT_SWEEP_ROWS; power of two in
                         [128, RT_SWEEP_ROWS]). Finer blocks turn a
@@ -177,6 +191,33 @@ def _cull_enabled() -> bool:
     return _cull_kind() is not None
 
 
+def _cull_hint() -> bool:
+    """Static (trace-time) switch for cross-primitive cull seeding
+    (RT_CULL_HINT): feed the sphere winner's exact t into the triangle
+    cull gate as a per-lane upper bound. Default on (strictly tighter
+    gate at ~2 vector ops per vote); '0' opts out for A/B timing."""
+    v = _knob("RT_CULL_HINT", "1")
+    if v not in ("0", "1"):
+        raise ValueError(f"RT_CULL_HINT={v!r} must be '0' or '1'")
+    return v == "1"
+
+
+def _cull_sub(blk: int) -> int:
+    """Sub-boxes per cull block for the box gate (RT_CULL_SUB), clamped so
+    each sub-box covers >= 64 table rows (finer adds gate arithmetic
+    faster than it removes swept rows). Default 1 pending the hardware
+    A/B; the headroom simulation (scripts/probe_cull_headroom.py) prices
+    candidate K values without the tunnel."""
+    v = int(_knob("RT_CULL_SUB", "1"))
+    if v < 1 or v > 8 or (v & (v - 1)) != 0:
+        raise ValueError(
+            f"RT_CULL_SUB={v} must be a power of two in [1, 8]"
+        )
+    while v > 1 and blk // v < 64:
+        v //= 2
+    return v
+
+
 def _tri_blk(m_pad: int) -> int:
     """Stage-1 block rows of the two-level triangle sweep (smaller than the
     sphere path's _SWEEP_ROWS: the Moller-Trumbore live set x 8 ray groups
@@ -242,18 +283,22 @@ def _order_bounds(ctr, rad, has, origin):
     return order, bounds[order].reshape(-1).astype(jnp.float32)
 
 
-def _box_block_bounds(row_lo, row_hi, n_valid: int, blk: int, origin):
+def _box_block_bounds(row_lo, row_hi, n_valid: int, blk: int, origin,
+                      sub: int = 1):
     """Per-block AABBs for the stage-1 cull (RT_CULL=box), visit-ordered
     front-to-back from ``origin``.
 
     ``row_lo``/``row_hi`` are per-TABLE-ROW conservative AABBs of each
     primitive (sphere: c -+ r; triangle: vertex min/max). Returns
-    (order int32[(nb,)], bounds f32[(nb*8,)]) where bounds rows are
-    [lox, loy, loz, hix, hiy, hiz, bmag, valid] per ``blk`` table rows in
-    VISIT order: ``bmag`` >= the magnitude |p| of every point p in the
-    widened box (scales the in-kernel grazing margin, see _cull_gate) and
-    ``valid`` is 1.0 for blocks with any live primitive (an all-padding
-    block never passes the gate).
+    (order int32[(nb,)], bounds f32[(nb*8*sub,)]) where bounds rows are
+    ``sub`` consecutive records [lox, loy, loz, hix, hiy, hiz, bmag,
+    valid] -- one per contiguous ``blk // sub``-row Morton sub-range --
+    per ``blk`` table rows, blocks in VISIT order: ``bmag`` >= the
+    magnitude |p| of every point p in the widened sub-box (scales the
+    in-kernel grazing margin, see _cull_gate) and ``valid`` is 1.0 for
+    sub-boxes with any live primitive (an all-padding sub-box never
+    passes the gate). The gate passes a block when ANY of its sub-boxes
+    passes -- same single cond per block, tighter union bound (RT_CULL_SUB).
 
     The box is widened (absolute + coordinate-relative + extent-relative
     epsilon) so it still contains every primitive after the f32 rounding of
@@ -262,10 +307,12 @@ def _box_block_bounds(row_lo, row_hi, n_valid: int, blk: int, origin):
     """
     n_pad = row_lo.shape[0]
     nb = n_pad // blk
-    valid = (jnp.arange(n_pad) < n_valid).reshape(nb, blk, 1)
+    sblk = blk // sub
+    nsb = nb * sub
+    valid = (jnp.arange(n_pad) < n_valid).reshape(nsb, sblk, 1)
     big = jnp.float32(3.0e37)
-    lo = jnp.min(jnp.where(valid, row_lo.reshape(nb, blk, 3), big), axis=1)
-    hi = jnp.max(jnp.where(valid, row_hi.reshape(nb, blk, 3), -big), axis=1)
+    lo = jnp.min(jnp.where(valid, row_lo.reshape(nsb, sblk, 3), big), axis=1)
+    hi = jnp.max(jnp.where(valid, row_hi.reshape(nsb, sblk, 3), -big), axis=1)
     has = jnp.any(valid, axis=1)[:, 0]
     pad = (
         1.0e-3
@@ -277,20 +324,23 @@ def _box_block_bounds(row_lo, row_hi, n_valid: int, blk: int, origin):
     bmag = jnp.sqrt(
         jnp.sum(jnp.maximum(jnp.abs(lo_w), jnp.abs(hi_w)) ** 2, axis=1)
     )
-    # Front-to-back: Euclidean distance from the origin proxy to the box.
+    # Front-to-back: Euclidean distance from the origin proxy to the
+    # BLOCK's box (the min over its sub-boxes' gaps; empty sub-boxes are
+    # (0,0) points -- excluded via +inf before the min).
     gap = jnp.maximum(
         jnp.maximum(lo_w - origin[None, :], origin[None, :] - hi_w), 0.0
     )
     d = jnp.sqrt(jnp.sum(gap * gap, axis=1))
     d = jnp.where(has, d, jnp.float32(3.0e38))
-    order = jnp.argsort(d).astype(jnp.int32)
+    d_blk = jnp.min(d.reshape(nb, sub), axis=1)
+    order = jnp.argsort(d_blk).astype(jnp.int32)
     rows = jnp.concatenate(
         [
             lo_w, hi_w, bmag[:, None],
             jnp.where(has, 1.0, 0.0)[:, None],
         ],
         axis=1,
-    )
+    ).reshape(nb, sub * 8)
     return order, rows[order].reshape(-1).astype(jnp.float32)
 
 
@@ -315,7 +365,8 @@ def _block_bounds(centers, radii, n_valid: int, blk: int, origin, kind):
     r3 = radii[:, None]
     if kind == "box":
         return _box_block_bounds(
-            centers - r3, centers + r3, n_valid, blk, origin
+            centers - r3, centers + r3, n_valid, blk, origin,
+            sub=_cull_sub(blk),
         )
     valid = (jnp.arange(n_pad) < n_valid).reshape(nb, blk, 1)
     c = centers.reshape(nb, blk, 3)
@@ -342,7 +393,9 @@ def _tri_block_bounds(v0, e1, e2, m_valid: int, blk: int, origin, kind):
     tlo = jnp.minimum(jnp.minimum(v0, p1), p2)
     thi = jnp.maximum(jnp.maximum(v0, p1), p2)
     if kind == "box":
-        return _box_block_bounds(tlo, thi, m_valid, blk, origin)
+        return _box_block_bounds(
+            tlo, thi, m_valid, blk, origin, sub=_cull_sub(blk)
+        )
     m_pad = v0.shape[0]
     nb = m_pad // blk
     valid = (jnp.arange(m_pad) < m_valid).reshape(nb, blk, 1)
@@ -575,7 +628,7 @@ def _gate_pre(rows, a, d_dot_o, o_dot_o, ta, kind):
 
 
 def _cull_gate_box(cull, b, pre, t_sub, carry, *, id_mask, scaled_key,
-                   body):
+                   body, hint=None):
     """AABB variant of the per-block conservative reject (RT_CULL=box).
 
     One scalar ``lax.cond`` per visited block: the block's widened AABB
@@ -597,66 +650,88 @@ def _cull_gate_box(cull, b, pre, t_sub, carry, *, id_mask, scaled_key,
     legitimate miss is a FINITE inverted window (tn > tf) and still
     rejects. (The sphere gate's NaN convention is the opposite -- its NaN
     discriminant genuinely means 'no intersection' -- so each gate
-    documents its own.)"""
+    documents its own.)
+
+    The bound table may carry ``sub`` > 1 AABBs per block (RT_CULL_SUB,
+    derived here from the SMEM table shapes so it can never diverge from
+    the packed layout): the block passes when ANY sub-box passes for any
+    active lane -- a strictly tighter union bound at the same single
+    ``lax.cond``.
+
+    ``hint``: optional (t_sub, 128) f32 EXTERNAL upper bound per lane in
+    the key's own units, min'd into ``cur_hi`` (cross-primitive cull
+    seeding -- the sphere winner's exact t tightens the triangle gate;
+    see _bounce_core). Bit-transparency survives because the final merge
+    keeps a triangle only at t_t STRICTLY below the same hint value, and
+    the gate's compare slack (1% + 1e-3) dwarfs the ~5e-4 relative key
+    quantization (approx reciprocal + id-bit packing), so no near-tie
+    winner flip can straddle the margin."""
     ord_ref, bnd_ref, act, _ = cull
-    lox = bnd_ref[8 * b]
-    loy = bnd_ref[8 * b + 1]
-    loz = bnd_ref[8 * b + 2]
-    hix = bnd_ref[8 * b + 3]
-    hiy = bnd_ref[8 * b + 4]
-    hiz = bnd_ref[8 * b + 5]
-    bmag = bnd_ref[8 * b + 6]
-    bval = bnd_ref[8 * b + 7]
+    sub = bnd_ref.shape[0] // (ord_ref.shape[0] * 8)
     a, so, iv, aiv, oi, aoi = pre
     anyv = jnp.zeros((1, 128), jnp.int32)
-    for g in range(t_sub):
-        sl = slice(g, g + 1)
-        ds = _CULL_GRAZE_EPS * (so[sl] + bmag)
+    for k in range(sub):
+        base = (8 * sub) * b + 8 * k
+        lox = bnd_ref[base]
+        loy = bnd_ref[base + 1]
+        loz = bnd_ref[base + 2]
+        hix = bnd_ref[base + 3]
+        hiy = bnd_ref[base + 4]
+        hiz = bnd_ref[base + 5]
+        bmag = bnd_ref[base + 6]
+        bval = bnd_ref[base + 7]
+        for g in range(t_sub):
+            sl = slice(g, g + 1)
+            ds = _CULL_GRAZE_EPS * (so[sl] + bmag)
 
-        def axis(lo, hi, k, sl=sl, ds=ds):
-            t1 = lo * iv[k][sl] - oi[k][sl]
-            t2 = hi * iv[k][sl] - oi[k][sl]
-            m = ds * aiv[k][sl] + _CULL_SLAB_EPS * (
-                jnp.abs(t1) + jnp.abs(t2) + 2.0 * aoi[k][sl]
-            )
-            return jnp.minimum(t1, t2) - m, jnp.maximum(t1, t2) + m
+            def axis(lo, hi, k2, sl=sl, ds=ds):
+                t1 = lo * iv[k2][sl] - oi[k2][sl]
+                t2 = hi * iv[k2][sl] - oi[k2][sl]
+                m = ds * aiv[k2][sl] + _CULL_SLAB_EPS * (
+                    jnp.abs(t1) + jnp.abs(t2) + 2.0 * aoi[k2][sl]
+                )
+                return jnp.minimum(t1, t2) - m, jnp.maximum(t1, t2) + m
 
-        tnx, tfx = axis(lox, hix, 0)
-        tny, tfy = axis(loy, hiy, 1)
-        tnz, tfz = axis(loz, hiz, 2)
-        tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-        tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
-        cur_hi = pltpu.bitcast(carry[g] | id_mask, jnp.float32)
-        # NEGATED reject form: NaN from slab-product overflow compares
-        # false in every reject test, so such lanes PASS (fail-closed).
-        if scaled_key:
-            # Sphere keys are unscaled roots n = a*t.
-            rej = (
-                (tn > tf)
-                | (tf <= _T_MIN * 0.999)
-                | (tn * a[sl] > cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi))
-            )
-        else:
-            # Triangle keys are approximate t (2^-12 reciprocal); same 1%
-            # compare slack as the sphere-bound gate's triangle regime.
-            rej = (
-                (tn > tf)
-                | (tf <= _T_MIN * 0.99)
-                | (tn > cur_hi + 0.01 * jnp.abs(cur_hi) + 1.0e-3)
-            )
-        passg = ~rej
-        if act is not None:
-            passg = passg & act[sl]
-        anyv = anyv | passg.astype(jnp.int32)
+            tnx, tfx = axis(lox, hix, 0)
+            tny, tfy = axis(loy, hiy, 1)
+            tnz, tfz = axis(loz, hiz, 2)
+            tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+            tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+            cur_hi = pltpu.bitcast(carry[g] | id_mask, jnp.float32)
+            if hint is not None:
+                cur_hi = jnp.minimum(cur_hi, hint[sl])
+            # NEGATED reject form: NaN from slab-product overflow compares
+            # false in every reject test, so such lanes PASS (fail-closed).
+            if scaled_key:
+                # Sphere keys are unscaled roots n = a*t.
+                rej = (
+                    (tn > tf)
+                    | (tf <= _T_MIN * 0.999)
+                    | (tn * a[sl]
+                       > cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi))
+                )
+            else:
+                # Triangle keys are approximate t (2^-12 reciprocal); same
+                # 1% compare slack as the sphere-bound gate's tri regime.
+                rej = (
+                    (tn > tf)
+                    | (tf <= _T_MIN * 0.99)
+                    | (tn > cur_hi + 0.01 * jnp.abs(cur_hi) + 1.0e-3)
+                )
+            # An all-padding sub-box (bval 0.0, never NaN) rejects.
+            passg = ~rej & (bval > 0.5)
+            if act is not None:
+                passg = passg & act[sl]
+            anyv = anyv | passg.astype(jnp.int32)
     return jax.lax.cond(
-        (jnp.max(anyv) > 0) & (bval > 0.5),
+        jnp.max(anyv) > 0,
         lambda kw: body(ord_ref[b], kw), lambda kw: kw,
         carry,
     )
 
 
 def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
-               body):
+               body, hint=None):
     """Shared per-block conservative reject for the four stage-1 sweeps
     (flat/two-level x sphere/triangle).
 
@@ -681,12 +756,14 @@ def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
 
     ``pre`` comes from ``_gate_pre`` (hoisted per sweep); the cull tuple's
     static kind tag (matching the packed bound-table layout) picks the
-    bound shape -- 'box' dispatches to ``_cull_gate_box``.
+    bound shape -- 'box' dispatches to ``_cull_gate_box``. ``hint``: see
+    _cull_gate_box (external per-lane upper bound in the key's units,
+    used by the triangle sweeps for cross-primitive seeding).
     """
     if cull[3] == "box":
         return _cull_gate_box(
             cull, b, pre, t_sub, carry,
-            id_mask=id_mask, scaled_key=scaled_key, body=body,
+            id_mask=id_mask, scaled_key=scaled_key, body=body, hint=hint,
         )
     ox, oy, oz, dx, dy, dz = rows
     a, d_dot_o, o_dot_o, ta, sa, so = pre
@@ -722,6 +799,8 @@ def _cull_gate(cull, b, rows, pre, t_sub, carry, *, id_mask, scaled_key,
         near_b = h_b - sq_b
         far_b = h_b + sq_b
         cur_hi = pltpu.bitcast(carry[g] | id_mask, jnp.float32)
+        if hint is not None:
+            cur_hi = jnp.minimum(cur_hi, hint[sl])
         if scaled_key:
             passg = (far_b > ta[sl] * 0.999) & (
                 near_b <= cur_hi + 1.0e-3 + 1.0e-3 * jnp.abs(cur_hi)
@@ -1399,7 +1478,7 @@ def _closest_sphere_two_level(
     return hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols
 
 
-def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
+def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None, hint=None):
     """Closest-hit Moller-Trumbore over all triangles for a (t_sub, 128)
     ray tile -- the triangle analog of ``_sweep``.
 
@@ -1410,6 +1489,9 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
 
     ``cull``: optional (ord_ref, bnd_ref, act, kind) per-block conservative
     reject (see _closest_tri_two_level) for multi-block flat sweeps.
+    ``hint``: optional (t_sub, 128) f32 per-lane upper bound in t units
+    for the gate ONLY (the sphere winner's exact t -- cross-primitive
+    seeding, see _cull_gate_box); never folded into the returned keys.
 
     Returns packed i32 keys (t bits | triangle id), ``_BIGF`` based on miss.
     """
@@ -1479,7 +1561,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
         # UNSCALED approximate t -> scaled_key=False margin regime).
         return _cull_gate(
             cull, b, rows, pre, t_sub, kmins,
-            id_mask=pack_mask, scaled_key=False, body=blk_body,
+            id_mask=pack_mask, scaled_key=False, body=blk_body, hint=hint,
         )
 
     init = tuple(nohit for _ in range(t_sub))
@@ -1491,7 +1573,7 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None):
 
 
 def _closest_tri_two_level(
-    tri_ref, rows, *, m_pad, t_sub, mxu_win=None, cull=None
+    tri_ref, rows, *, m_pad, t_sub, mxu_win=None, cull=None, hint=None
 ):
     """Two-level Moller-Trumbore closest hit for meshes past _SWEEP_ROWS
     triangles -- the triangle analog of ``_closest_sphere_two_level``.
@@ -1589,10 +1671,11 @@ def _closest_tri_two_level(
         if cull is None:
             return blk_body(b, kwins)
         # Per-block conservative reject (_cull_gate; UNSCALED approx-t
-        # keys -> scaled_key=False margin regime).
+        # keys -> scaled_key=False margin regime; hint = sphere winner's
+        # exact t, gate-only -- see _tri_sweep).
         return _cull_gate(
             cull, b, rows, pre, t_sub, kwins,
-            id_mask=wmask, scaled_key=False, body=blk_body,
+            id_mask=wmask, scaled_key=False, body=blk_body, hint=hint,
         )
 
     if n_blocks == 1:
@@ -1914,21 +1997,28 @@ def _bounce_core(
         # tri_mxu carries the window-major plane table (two-level path) or
         # the flat byte-plane table (<= _SWEEP_ROWS meshes); the static
         # _two_level_enabled branch picks the matching fetch.
+        # The sphere winner's exact t doubles as a cull-gate HINT
+        # (cross-primitive seeding): the merge below keeps a triangle
+        # only at t_t STRICTLY under this same value, so blocks whose
+        # whole margined window sits past it can never change the image
+        # -- lanes that hit a closer sphere stop voting mesh blocks open.
         tri_ref, m_pad, tri_mxu, tri_cull = tris
+        t_sph = jnp.where(hitm, t_safe, _BIGF)
+        hint = t_sph if (tri_cull is not None and _cull_hint()) else None
         if _two_level_enabled(m_pad, tri=True):
             hit_t, t_t, tp, tn, ta, tparam = _closest_tri_two_level(
                 tri_ref, rows, m_pad=m_pad, t_sub=t_sub, mxu_win=tri_mxu,
-                cull=tri_cull,
+                cull=tri_cull, hint=hint,
             )
         else:
             kmin_t = _tri_sweep(
-                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, cull=tri_cull
+                tri_ref, rows, m_pad=m_pad, t_sub=t_sub, cull=tri_cull,
+                hint=hint,
             )
             hit_t, t_t, tp, tn, ta, tparam = _tri_winner(
                 tri_ref, kmin_t, rows, m_pad=m_pad, t_sub=t_sub,
                 mxu_ref=tri_mxu,
             )
-        t_sph = jnp.where(hitm, t_safe, _BIGF)
         pick = hit_t & ((~hitm) | (t_t < t_sph))
         hitm = hitm | hit_t
         px = jnp.where(pick, tp[0], px)

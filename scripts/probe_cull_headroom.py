@@ -31,7 +31,21 @@ bit-exact, comparisons). The gate predicate drops the kernel's tiny
 conservative margins (they only widen borderline cases). Sweep cost at
 stress scales ~ visited blocks, so visit ratios predict throughput ratios
 for the sweep-bound regime (stress:8192 = 7.9 Mrays/s culled vs 4.4
-unculled on hardware).
+unculled on hardware, sphere-gate era).
+
+``--bound box`` (default, matching the shipped RT_CULL default since the
+box gate won its hardware A/B) evaluates the same orderings/floors under
+the per-block AABB slab gate; ``--bound sphere`` reproduces the original
+bounding-sphere numbers recorded in CLAUDE.md/BASELINE.md.
+
+Box runs additionally price SUB-BOX refinement (K = 2/4/8 AABBs per
+512-row block, each bounding a contiguous Morton sub-range): the gate for
+a block becomes "any sub-box hittable strictly closer than best", i.e.
+a masked MIN over K slab nears -- K more slab tests per block but still
+ONE scalar cond, sidestepping the measured-rejected per-group/finer-block
+cond overheads. The kernel-side cost is a few extra vreg ops per block
+per segment, negligible next to a 512-row sweep body, so any material
+drop in visited blocks/step here is nearly-free hardware throughput.
 
 Run (CPU, no tunnel needed):
 
@@ -105,6 +119,57 @@ def block_bounds(centers, radii, n_valid, blk):
     return ctr, rad, bm2
 
 
+def box_bounds(centers, radii, n_valid, blk):
+    """Per-block AABBs over c -+ r, BLOCK order (== _box_block_bounds with
+    the widening pad dropped): lo (nb,3), hi (nb,3), nonempty (nb,).
+    A box with NO valid rows (possible for fine sub-boxes on padded
+    scenes) is inverted +-big; its slab windows can degenerate to
+    always-hit, so callers must mask with ``nonempty``."""
+    n_pad = centers.shape[0]
+    nb = n_pad // blk
+    valid = (np.arange(n_pad) < n_valid).reshape(nb, blk, 1)
+    c = centers.reshape(nb, blk, 3)
+    r = radii.reshape(nb, blk, 1)
+    big = np.float32(3.0e37)
+    lo = np.min(np.where(valid, c - r, big), axis=1)
+    hi = np.max(np.where(valid, c + r, -big), axis=1)
+    return (lo.astype(np.float32), hi.astype(np.float32),
+            valid.any(axis=(1, 2)))
+
+
+def box_gap_dist(lo, hi, p):
+    """Euclidean distance from point ``p`` to each AABB (0 inside) -- the
+    front-to-back visit metric _box_block_bounds uses."""
+    gap = np.maximum(np.maximum(lo - p[None], p[None] - hi), 0.0)
+    return np.sqrt(np.sum(gap * gap, axis=1))
+
+
+def box_slab(o, d, a, lo, hi):
+    """Exact slab windows per (lane, box) in the kernel's a*t key units
+    (margins dropped, sign-preserving inv clamp like _gate_pre):
+    near_b (L, nB), far_b (L, nB); inverted windows (miss) -> (inf, -inf)
+    via the caller's comparisons (near > best always, far <= ta)."""
+    inv = np.where(d >= 0.0, 1.0, -1.0) / np.maximum(np.abs(d), 1.0e-30)
+    oi = o * inv
+    t1 = lo[None, :, :] * inv[:, None, :] - oi[:, None, :]
+    t2 = hi[None, :, :] * inv[:, None, :] - oi[:, None, :]
+    tn = np.min([t1, t2], axis=0).max(axis=2)
+    tf = np.max([t1, t2], axis=0).min(axis=2)
+    near_b = np.where(tn <= tf, tn, np.inf) * a[:, None]
+    far_b = np.where(tn <= tf, tf, -np.inf) * a[:, None]
+    return near_b.astype(np.float32), far_b.astype(np.float32)
+
+
+def masked_near(near_b, far_b, ta):
+    """Collapse a (near, far) gate window to ONE per-(lane, box) quantity:
+    the entry key where the box is reachable strictly past t_min, +inf
+    where it is not. The gate predicate then reduces to
+    ``isfinite(nearg) & (nearg <= best)`` -- and K sub-boxes per block
+    compose by a plain MIN over K, which is what makes the sub-box
+    refinement one-cond-per-block implementable in the kernel."""
+    return np.where(far_b > ta[:, None], near_b, np.inf).astype(np.float32)
+
+
 def camera_rays(dc, px, py, rng):
     """get_ray (core.cc:218-234) in numpy, defocus_angle == 0 scenes."""
     jit = rng.random((px.shape[0], 2), np.float32) - 0.5
@@ -121,25 +186,27 @@ def camera_rays(dc, px, py, rng):
 _scatter = jax.jit(rscatter.scatter)
 
 
-def vote_sim(order, act, near_b, far_b, ta, wn):
+def vote_sim(order, act, nearg, wn):
     """Sequential per-tile vote: visit blocks in ``order``; a visited
     block's exact winners tighten every lane's best for later gates.
-    Returns visited-block count."""
+    ``nearg`` is the masked entry key (see masked_near). Returns
+    visited-block count."""
     best = np.full(act.shape[0], np.inf, np.float32)
     visits = 0
     for b in order:
-        passes = act & (far_b[:, b] > ta) & (near_b[:, b] <= best)
+        passes = act & np.isfinite(nearg[:, b]) & (nearg[:, b] <= best)
         if passes.any():
             visits += 1
             best = np.minimum(best, wn[:, b])
     return visits
 
 
-def floor_counts(act, near_b, far_b, ta, wn, group):
+def floor_counts(act, nearg, wn, group):
     """Order-independent visit floor at ``group``-lane vote granularity,
     in units of full-block sweeps (fractional for sub-tile granularity)."""
     final = np.min(wn, axis=1)  # (L,) best possible key per lane
-    passes = act[:, None] & (far_b > ta[:, None]) & (near_b <= final[:, None])
+    passes = (act[:, None] & np.isfinite(nearg)
+              & (nearg <= final[:, None]))
     L = act.shape[0]
     g = passes.reshape(L // group, group, -1).any(axis=1)  # (groups, nb)
     return g.sum() * (group / L)
@@ -153,6 +220,8 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--tiles", type=int, default=0, help="subsample tiles (0=all)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bound", choices=("box", "sphere"), default="box",
+                    help="gate bound kind (box = shipped RT_CULL default)")
     args = ap.parse_args()
 
     cam0, scene = rt.make_world_stress(args.n, image_width=args.width)
@@ -166,13 +235,24 @@ def main():
     blk = min(n_pad, ptrace._SWEEP_ROWS)
     nb = n_pad // blk
     ctr, rad, bm2 = block_bounds(centers, radii, n_valid, blk)
+    blo, bhi, _ = box_bounds(centers, radii, n_valid, blk)
+    # Sub-box refinement candidates (box bound only): K AABBs per block.
+    sub_ks = [k for k in (2, 4, 8) if blk % k == 0 and blk // k >= 8]
+    sub_bounds = {
+        k: box_bounds(centers, radii, n_valid, blk // k) for k in sub_ks
+    }
     cm2 = np.sum(centers * centers, axis=1) - radii * radii
     cm2[n_valid:] = 1.0e30  # padding rows never hit (pack_scene semantics)
 
+    def bound_dist(p):
+        """Front-to-back metric from point p, per the selected bound kind."""
+        if args.bound == "box":
+            return box_gap_dist(blo, bhi, p)
+        return np.linalg.norm(ctr - p[None], axis=1) - rad
+
     # Production ordering: front-to-back from the camera center, static.
     cam_center = np.asarray(dc.center)
-    d_cam = np.linalg.norm(ctr - cam_center[None], axis=1) - rad
-    order_cam = np.argsort(d_cam)
+    order_cam = np.argsort(bound_dist(cam_center))
 
     ids = tiling.tiled_pixel_ids(w, h)
     n_tiles = ids.shape[0] // LANES
@@ -184,6 +264,9 @@ def main():
     tot = {k: 0.0 for k in (
         "cam", "adapt", "oracle", "floor_tile", "floor_group", "floor_lane",
         "steps", "segments", "miss_forced", "bounce0", "miss_lanes")}
+    for k in sub_ks:
+        tot[f"cam_sub{k}"] = 0.0
+        tot[f"floor_tile_sub{k}"] = 0.0
     t0 = time.time()
     for ti in tile_ids:
         lane_ids = ids[ti * LANES:(ti + 1) * LANES]
@@ -215,38 +298,53 @@ def main():
                             root, np.inf).astype(np.float32)
             wn = cand.reshape(LANES, nb, blk).min(axis=2)   # (L, nb)
 
-            # Gate quantities vs each block bound (margins dropped).
-            h_b = d @ ctr.T - np.sum(d * o, axis=1)[:, None]
-            cq_b = (bm2[None, :] - 2.0 * (o @ ctr.T)
-                    + np.sum(o * o, axis=1)[:, None])
-            delta_b = h_b * h_b - a[:, None] * cq_b
-            sq_b = np.sqrt(np.maximum(delta_b, 0.0))
-            with np.errstate(invalid="ignore"):
-                near_b = np.where(delta_b >= 0, h_b - sq_b, np.inf)
-                far_b = np.where(delta_b >= 0, h_b + sq_b, -np.inf)
+            # Gate quantities vs each block bound (margins dropped),
+            # collapsed to the masked entry key (see masked_near).
+            if args.bound == "box":
+                near_b, far_b = box_slab(o, d, a, blo, bhi)
+                nearg = masked_near(near_b, far_b, ta)
+            else:
+                h_b = d @ ctr.T - np.sum(d * o, axis=1)[:, None]
+                cq_b = (bm2[None, :] - 2.0 * (o @ ctr.T)
+                        + np.sum(o * o, axis=1)[:, None])
+                delta_b = h_b * h_b - a[:, None] * cq_b
+                sq_b = np.sqrt(np.maximum(delta_b, 0.0))
+                with np.errstate(invalid="ignore"):
+                    near_b = np.where(delta_b >= 0, h_b - sq_b, np.inf)
+                    far_b = np.where(delta_b >= 0, h_b + sq_b, -np.inf)
+                nearg = masked_near(near_b, far_b, ta)
 
             seg = int(act.sum())
             tot["segments"] += seg
             tot["steps"] += 1
-            tot["cam"] += vote_sim(order_cam, act, near_b, far_b, ta, wn)
+            tot["cam"] += vote_sim(order_cam, act, nearg, wn)
             centroid = np.average(o, axis=0, weights=act.astype(np.float64))
-            d_ad = np.linalg.norm(ctr - centroid[None], axis=1) - rad
-            tot["adapt"] += vote_sim(np.argsort(d_ad), act, near_b, far_b,
-                                     ta, wn)
+            d_ad = bound_dist(centroid.astype(np.float32))
+            tot["adapt"] += vote_sim(np.argsort(d_ad), act, nearg, wn)
             winner_blk = np.argmin(wn, axis=1)
             hit_any = np.isfinite(wn.min(axis=1)) & act
             counts = np.bincount(winner_blk[hit_any], minlength=nb)
             order_or = np.lexsort((d_ad, -counts))
-            tot["oracle"] += vote_sim(order_or, act, near_b, far_b, ta, wn)
-            tot["floor_tile"] += floor_counts(act, near_b, far_b, ta, wn, LANES)
-            tot["floor_group"] += floor_counts(act, near_b, far_b, ta, wn, 128)
-            tot["floor_lane"] += floor_counts(act, near_b, far_b, ta, wn, 1)
+            tot["oracle"] += vote_sim(order_or, act, nearg, wn)
+            tot["floor_tile"] += floor_counts(act, nearg, wn, LANES)
+            tot["floor_group"] += floor_counts(act, nearg, wn, 128)
+            tot["floor_lane"] += floor_counts(act, nearg, wn, 1)
+            if args.bound == "box":
+                for k in sub_ks:
+                    slo, shi, sne = sub_bounds[k]
+                    near_f, far_f = box_slab(o, d, a, slo, shi)
+                    ng = masked_near(near_f, far_f, ta)
+                    ng = np.where(sne[None, :], ng, np.inf)
+                    ng = ng.reshape(LANES, nb, k).min(axis=2)
+                    tot[f"cam_sub{k}"] += vote_sim(order_cam, act, ng, wn)
+                    tot[f"floor_tile_sub{k}"] += floor_counts(
+                        act, ng, wn, LANES)
             # Mechanism decomposition: which floor-tile visits are forced
             # ONLY by miss lanes (final best = inf, i.e. a sky ray whose
             # bound can never tighten -- unavoidable at any ordering)?
             final = np.min(wn, axis=1)
-            fpass = (act[:, None] & (far_b > ta[:, None])
-                     & (near_b <= final[:, None]))
+            fpass = (act[:, None] & np.isfinite(nearg)
+                     & (nearg <= final[:, None]))
             miss_lane = act & ~np.isfinite(final)
             forced = fpass.any(axis=0)
             hit_pass = (fpass & np.isfinite(final)[:, None]).any(axis=0)
@@ -290,22 +388,28 @@ def main():
 
     segs = tot["segments"]
     steps = tot["steps"]
-    print(f"scene stress:{args.n} n_pad={n_pad} blocks={nb} blk={blk} "
+    print(f"scene stress:{args.n} bound={args.bound} "
+          f"n_pad={n_pad} blocks={nb} blk={blk} "
           f"image {w}x{h} spp={args.spp} depth={args.depth} "
           f"tiles={len(tile_ids)}/{n_tiles} "
           f"segments={segs:.0f} steps={steps:.0f} ({time.time()-t0:.0f}s)")
     base = tot["cam"] / steps
-    print(f"{'variant':<12}{'blocks/step':>12}{'vs cam':>9}   note")
-    for k, note in (
+    rows = [
         ("cam", "production static camera order"),
         ("adapt", "per-(tile,step) origin-centroid order"),
         ("oracle", "true-winner-count order (unimplementable)"),
         ("floor_tile", "ANY-order floor, tile vote"),
         ("floor_group", "floor at 128-lane group votes"),
         ("floor_lane", "floor at per-lane traversal"),
-    ):
+    ]
+    for k in sub_ks:
+        rows.append((f"cam_sub{k}", f"cam order, {k} sub-boxes/block gate"))
+        rows.append((f"floor_tile_sub{k}",
+                     f"ANY-order tile floor, {k} sub-boxes"))
+    print(f"{'variant':<16}{'blocks/step':>12}{'vs cam':>9}   note")
+    for k, note in rows:
         v = tot[k] / steps
-        print(f"{k:<12}{v:>12.3f}{base / max(v, 1e-9):>8.2f}x   {note}")
+        print(f"{k:<16}{v:>12.3f}{base / max(v, 1e-9):>8.2f}x   {note}")
     print(
         f"mechanism: {tot['miss_forced'] / steps:.3f} blocks/step of the "
         f"tile floor are forced ONLY by miss(sky) lanes; "

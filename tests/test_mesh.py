@@ -558,12 +558,13 @@ def test_pallas_mesh_cull_bit_transparent_dynamic_range(monkeypatch, kind):
     assert np.array_equal(rad_cull, rad_ref)
 
 
-@pytest.mark.parametrize("kind", ["sphere", "box"])
+@pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
     """Triangle analog of test_sphere_cull_bit_transparent: the per-block
     reject (both bound kinds: bounding sphere and AABB) over the 256-row
     triangle stage-1 blocks must leave radiance bit-identical (1280 tris
-    -> m_pad 2048 = 8 cull blocks)."""
+    -> m_pad 2048 = 8 cull blocks). 'box-sub' = the box gate with
+    RT_CULL_SUB=4 sub-AABBs per block (union-of-sub-boxes gate)."""
     import jax
 
     verts, faces = rmesh.make_icosphere(3)  # 1280 tris -> m_pad 2048
@@ -578,6 +579,9 @@ def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
     keys = _keys(n, seed=13)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
+    if kind == "box-sub":
+        kind = "box"
+        monkeypatch.setenv("RT_CULL_SUB", "4")
     monkeypatch.setenv("RT_CULL", kind)
     jax.clear_caches()
     try:
@@ -585,6 +589,59 @@ def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
         monkeypatch.setenv("RT_CULL", "0")
         jax.clear_caches()
         rad_ref, seg_ref = _run_fused_rays(scene, o, d, 4)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
+
+
+@pytest.mark.parametrize("hint", ["1", "0"])
+def test_pallas_mesh_cull_hint_occluder_bit_transparent(monkeypatch, hint):
+    """Cross-primitive cull seeding (RT_CULL_HINT) in its MAXIMAL regime:
+    a large metal sphere sits strictly in front of the whole icosphere
+    mesh, so every forward lane's sphere winner t is closer than every
+    triangle -- with the hint, all 8 triangle cull blocks are skipped for
+    the whole first segment. Radiance must stay byte-identical to the
+    unculled render (hint '1') and the hint knob itself must be a pure
+    gate tightening (hint '0' == same unculled image). Grazing rays at
+    the occluder's silhouette exercise the near-tie band the 1% + 1e-3
+    compare slack must cover (the sphere t and first triangle t differ
+    by ~the sphere-mesh gap there, far above the ~5e-4 key quantization,
+    so the directed scenario is safe by construction -- the random tile
+    below also mixes occluded/unoccluded lanes so partial votes occur)."""
+    import jax
+
+    verts, faces = rmesh.make_icosphere(3)  # 1280 tris -> m_pad 2048
+    b = SceneBuilder()
+    b.add_mesh(
+        verts * 0.9 + np.float32([0.0, 0.0, -4.0]), faces,
+        albedo=(0.8, 0.8, 0.9), kind=MaterialKind.METALLIC, fuzz=0.0,
+    )
+    # Occluder: covers the mesh from the origin's view (radius chosen so
+    # silhouette rays graze it and still reach mesh triangles behind).
+    b.add_metallic_sphere((0.0, 0.0, -2.0), 0.55, (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    rng = np.random.default_rng(31)
+    # Tile 1: 1024 rays straight at the occluder center (all seeded).
+    d1 = np.tile(np.float32([0.0, 0.0, -1.0]), (1024, 1))
+    d1[:, :2] += rng.normal(size=(1024, 2)).astype(np.float32) * 0.02
+    # Tile 2: silhouette-grazing + wide rays (mixed seeded/unseeded votes).
+    ang = 0.55 / 2.0  # occluder angular radius from origin ~ r/z
+    theta = ang * rng.uniform(0.85, 1.6, size=1024)
+    phi = rng.uniform(0.0, 2 * np.pi, size=1024)
+    d2 = np.stack(
+        [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi),
+         -np.cos(theta)], axis=1,
+    ).astype(np.float32)
+    d = jnp.asarray(np.concatenate([d1, d2]), jnp.float32)
+    o = jnp.zeros((2048, 3), jnp.float32)
+    monkeypatch.setenv("RT_CULL_HINT", hint)
+    jax.clear_caches()
+    try:
+        rad_cull, seg_cull = _run_fused_rays(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
+        rad_ref, seg_ref = _run_fused_rays(scene, o, d, 3)
     finally:
         jax.clear_caches()
     assert seg_cull == seg_ref

@@ -427,7 +427,7 @@ def test_mxu_gather_matches_radix_bitexact():
     )
 
 
-@pytest.mark.parametrize("kind", ["sphere", "box"])
+@pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 @pytest.mark.parametrize("two_level", [False, True])
 def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
     """The per-block conservative reject in the multi-block stage-1
@@ -438,7 +438,8 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
     blocks; the default path at 1024 rows is the FLAT block-major sweep
     (two-level starts at 16*_SWEEP_ROWS = 8192 per the round-3 A/B), so the
     two_level=True case forces the two-level path via RT_TWO_LEVEL_MIN to
-    keep its cull covered too."""
+    keep its cull covered too. 'box-sub' runs the box gate with
+    RT_CULL_SUB=4 sub-AABBs per block (union-of-sub-boxes gate)."""
     rng = np.random.default_rng(12)
     b = SceneBuilder()
     for _ in range(600):
@@ -449,6 +450,9 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
     keys = _keys(n, seed=9)
     d = rrng.unit_vector(keys)
     o = jnp.zeros((n, 3), jnp.float32)
+    if kind == "box-sub":
+        kind = "box"
+        monkeypatch.setenv("RT_CULL_SUB", "4")
     monkeypatch.setenv("RT_CULL", kind)
     jax.clear_caches()
     if two_level:
@@ -465,7 +469,7 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
     assert np.array_equal(rad_cull, rad_ref)
 
 
-@pytest.mark.parametrize("kind", ["sphere", "box"])
+@pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 @pytest.mark.parametrize("two_level", [False, True])
 def test_sphere_cull_bit_transparent_dynamic_range(
     monkeypatch, two_level, kind
@@ -527,6 +531,9 @@ def test_sphere_cull_bit_transparent_dynamic_range(
         np.concatenate([d1, np.tile(kill, (1024, 1))]), jnp.float32
     )
     o = jnp.zeros((2 * n, 3), jnp.float32)
+    if kind == "box-sub":
+        kind = "box"
+        monkeypatch.setenv("RT_CULL_SUB", "4")
     monkeypatch.setenv("RT_CULL", kind)
     jax.clear_caches()
     if two_level:
@@ -543,7 +550,7 @@ def test_sphere_cull_bit_transparent_dynamic_range(
     assert np.array_equal(rad_cull, rad_ref)
 
 
-@pytest.mark.parametrize("kind", ["sphere", "box"])
+@pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
     """Cull bit-transparency for EXACTLY-axis-parallel rays whose origin
     sits just OUTSIDE a block bound's widened x-extent -- the AABB gate's
@@ -568,10 +575,15 @@ def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
         c = C + u / np.linalg.norm(u) * 0.4
         b.add_metallic_sphere(tuple(c), 0.05, (0.9, 0.9, 0.9), 0.0)
     scene = b.build()
+    if kind == "box-sub":
+        kind = "box"
+        monkeypatch.setenv("RT_CULL_SUB", "4")
     monkeypatch.setenv("RT_CULL", kind)
     jax.clear_caches()
     # Origin just past the widened x-extent of every cull block, computed
     # from the real pack-side bounds so the test tracks widening changes.
+    # (With RT_CULL_SUB the table carries 8-float SUB-box records -- the
+    # reshape(-1, 8) parsing below is layout-compatible.)
     geh, gec, shade, n = ptrace.pack_scene(scene)[:4]
     n_pad = geh.shape[0]
     blk = min(n_pad, ptrace._SWEEP_ROWS)
