@@ -113,6 +113,23 @@ def _knob(name: str, default: str) -> str:
                         save on a 1-4 block scene); kept as the probe
                         knob; output is block-size-invariant (absolute
                         row ids; tests/test_sweep_rows.py)
+      RT_TRI_BLK        stage-1 block rows of the TWO-LEVEL triangle
+                        sweep (default RT_SWEEP_ROWS // 2; power of two
+                        in [RT_WIN, RT_SWEEP_ROWS]). 512 over-ran scoped
+                        vmem with the classic M-T form (18.6 MB); the
+                        triple-product form (_tri_key_rows) is ~6 live
+                        tiles/group lighter, so 512 is worth re-probing.
+                        Output is block-size-invariant (absolute ids).
+      RT_TRI_FORM       'classic' (default) | 'triple': Moller-Trumbore
+                        candidate-key form. 'triple' (packed n' = e2 x e1
+                        replaces BOTH crosses with one m = s x d; ~10%
+                        fewer sweep ops) measured and REJECTED round 3:
+                        mesh:3 -4.6%, mesh:4 -2% in order-alternated
+                        pairs -- extra column loads + a deeper dependence
+                        chain beat the op savings (see _tri_form). Kept
+                        as the probe knob; NOT bit-identical across forms
+                        (accepted near-tie class); winner re-test is
+                        exact classic M-T either way.
       RT_SWEEP_FMA      '0' (default) | '1': fma-chain association of the
                         flat sweep quadratic -- measured and REJECTED
                         (91.7 vs 112.8 on cover: Mosaic already schedules
@@ -220,9 +237,25 @@ def _cull_sub(blk: int) -> int:
 
 def _tri_blk(m_pad: int) -> int:
     """Stage-1 block rows of the two-level triangle sweep (smaller than the
-    sphere path's _SWEEP_ROWS: the Moller-Trumbore live set x 8 ray groups
-    exceeded the scoped-vmem limit at 512)."""
-    return min(m_pad, max(_WIN, _SWEEP_ROWS // 2))
+    sphere path's _SWEEP_ROWS: the CLASSIC Moller-Trumbore live set x 8
+    ray groups exceeded the scoped-vmem limit at 512 -- 18.6 MB measured
+    in round 2).
+
+    Trace-time knob RT_TRI_BLK (default _SWEEP_ROWS // 2 = 256): the
+    round-3 triple-product sweep form (``_tri_key_rows``) dropped ~6 live
+    (blk, 128) tiles per ray group, so 512-row blocks may now fit -- a
+    probe knob, like RT_FLAT_BLK, until a hardware A/B moves the default.
+    Cull bound tables are built at this same granularity
+    (_aux_scene_inputs calls this function), so table and sweep cannot
+    disagree; keys carry absolute ids, so output is block-size-invariant.
+    """
+    blk = int(_knob("RT_TRI_BLK", str(_SWEEP_ROWS // 2)))
+    if not (_WIN <= blk <= _SWEEP_ROWS) or (blk & (blk - 1)) != 0:
+        raise ValueError(
+            f"RT_TRI_BLK={blk} must be a power of two in "
+            f"[{_WIN}, {_SWEEP_ROWS}]"
+        )
+    return min(m_pad, max(_WIN, blk))
 
 
 def _flat_blk(n_pad: int) -> int:
@@ -250,6 +283,50 @@ def _flat_blk(n_pad: int) -> int:
             "silently skip scene rows)"
         )
     return min(n_pad, blk)
+
+
+def _tri_form() -> str:
+    """Trace-time knob RT_TRI_FORM: Moller-Trumbore candidate-key form.
+
+    'classic' (default): h = d x e2 and q = s x e1 crosses, the textbook
+    scaled M-T (Moller & Trumbore 1997) -- measured FASTER on hardware.
+    'triple': the packed-normal triple-product form (n' = e2 x e1 table
+    cols 11-13; det = d.n', u = (s x d).e2, v = -(s x d).e1,
+    t = -(s.n')) -- ~10% fewer sweep ops and 6 fewer live tiles per ray
+    group, but measured and REJECTED round 3 (order-alternated pairs,
+    1080p@64spp d8: mesh:3 26.6/26.6 vs classic 27.9/28.0 = -4.6%;
+    mesh:4 13.0/12.6 vs 13.2/13.0 = -2%): the 3 extra column loads per
+    256-row stage-1 block (12 vs 9; Mosaic's dynamic-base load relayouts
+    were the round-2 stage-1 dominator) and the deeper s -> m -> {u,v}
+    dependence chain cost more than the dropped ops save -- the same
+    scheduling lesson as RT_SWEEP_FMA. The load-amortization remedy
+    (RT_TRI_BLK=512) over-ran scoped vmem (22.4 MB > 16 MB), so the form
+    cannot reach the block size where its op savings would win. Kept as
+    a probe knob for future toolchains (protocol: scripts/ab_tri_form.sh;
+    identity verification in _tri_key_rows's docstring). NOT bit-identical
+    across forms (near-tie winner flips at f32 roundoff, the accepted
+    class -- 0 validity flips in 2e5 random + 5/1.2e5 aimed-near-edge
+    rays); each form is self-consistent across stage 1/stage 2/flat.
+    """
+    v = _knob("RT_TRI_FORM", "classic")
+    if v not in ("classic", "triple"):
+        raise ValueError(f"RT_TRI_FORM={v!r} must be 'classic' or 'triple'")
+    return v
+
+
+def _tri_key_cols() -> tuple:
+    """Triangle-table column ids the candidate key reads (form-dependent:
+    the triple form also loads the packed n' normal, cols 11-13)."""
+    if _tri_form() == "triple":
+        return (*range(9), 11, 12, 13)
+    return tuple(range(9))
+
+
+def _tri_key_ncols() -> int:
+    """Stage-2 collapse width: the 11 _tri_exact columns, plus n' when the
+    triple form re-keys the collapsed window (prefix of the 14-column
+    win-plane table either way)."""
+    return 14 if _tri_form() == "triple" else 11
 
 
 def _sweep_fma() -> bool:
@@ -1235,14 +1312,17 @@ def _collapse_window_mxu(win_ref, wid, *, n_win, n_cols, win):
 
     Replaces the select-fori `_collapse_window_blocked` (O(n_blocks)
     VPU folds with materialized lane broadcasts) with (4*C*win, n_win)
-    @ (n_win, 128) MXU work.
+    @ (n_win, 128) MXU work. ``win_ref`` may be WIDER than ``n_cols``
+    (the triangle win-plane table always carries 14 columns; the classic
+    key form reads the 11-column prefix -- column-major plane layout
+    makes any prefix read exact).
 
     VMEM: the product is (4*C*win, 128) f32 = 1.75 MB at C=7 / 2.8 MB at
     C=11 per ray group; Mosaic reuses the buffer across the t_sub group
     loop (hardware-verified: the 11-column triangle path compiles and
     runs at 2048 rows). If a future config trips a scoped-vmem limit,
     shrink RT_WIN (the collapse output scales with win)."""
-    table = win_ref[:, :]
+    table = win_ref[0 : 4 * n_cols * win, :]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_win, 1), 0)
     onehot = jnp.where(iota == wid, 1.0, 0.0)  # (n_win, 128)
     prod = jax.lax.dot_general(
@@ -1478,14 +1558,95 @@ def _closest_sphere_two_level(
     return hitm, cxb, cyb, czb, rb, albr, albg, albb, param, texcols
 
 
+def _tri_key_rows(col, rows, sl):
+    """Division-free Moller-Trumbore candidate keys for one (1, 128) ray
+    group against a column block: f32 rows of approximate t (``_BIGF`` on
+    miss). THE single key formula -- the flat sweep, two-level stage 1 and
+    stage 2 all call this, so no pair of paths can desynchronize (they
+    duplicated the arithmetic with a "must match" comment before round 3).
+
+    Two forms behind the RT_TRI_FORM trace-time knob (see ``_tri_form``
+    for the A/B record; classic won on hardware):
+
+    * classic: h = d x e2, q = s x e1 -- textbook scaled M-T.
+    * triple: with the packed plane normal n' = e2 x e1 (pack_triangles
+      cols 11-13) and one cross m = s x d (s = o - v0),
+
+          det = d . n'            (= e1 . (d x e2), classic M-T)
+          u_raw = m . e2          (= s . (d x e2):  a.(b x c) = (a x b).c)
+          v_raw = -(m . e1)       (= d . (s x e1))
+          t_raw = -(s . n')       (= e2 . (s x e1))
+
+      replaces BOTH classic crosses with one: ~10% fewer sweep ops and 6
+      fewer live (blk, 128) tiles per ray group. Conditioning is
+      unchanged (s is formed first, exactly as classic -- deliberately
+      NOT the further-reduced m = o x d - v0 x d, whose |o|-scale
+      cancellation would poison u/v/t for bounce rays sitting ON the
+      mesh). Keys move only at f32 roundoff vs classic (~1e-7 relative;
+      0 validity flips in 2e5 random + 5/1.2e5 aimed-near-edge rays) --
+      the accepted near-tie class, far inside the cull gate's 1% + 1e-3
+      slack.
+
+    Either way the winner's exact hit is recomputed classically in
+    ``_tri_exact`` (bitwise-matching the XLA backend).
+    """
+    ox, oy, oz, dx, dy, dz = rows
+    v0x, v0y, v0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3), col(4), col(5)
+    e2x, e2y, e2z = col(6), col(7), col(8)
+    if _tri_form() == "triple":
+        nx, ny, nz = col(11), col(12), col(13)
+        det = dx[sl] * nx + dy[sl] * ny + dz[sl] * nz
+        g_s = jnp.where(det < 0.0, -1.0, 1.0)
+        ng_s = -g_s
+        dabs = det * g_s
+        sx = ox[sl] - v0x
+        sy = oy[sl] - v0y
+        sz = oz[sl] - v0z
+        # m = s x d (per pair; d broadcast over the block rows)
+        mx = sy * dz[sl] - sz * dy[sl]
+        my = sz * dx[sl] - sx * dz[sl]
+        mz = sx * dy[sl] - sy * dx[sl]
+        u_s = (mx * e2x + my * e2y + mz * e2z) * g_s
+        v_s = (mx * e1x + my * e1y + mz * e1z) * ng_s
+        t_s = (sx * nx + sy * ny + sz * nz) * ng_s
+    else:
+        # h = d x e2 (per pair; d broadcast over the block rows)
+        hx = dy[sl] * e2z - dz[sl] * e2y
+        hy = dz[sl] * e2x - dx[sl] * e2z
+        hz = dx[sl] * e2y - dy[sl] * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        g_s = jnp.where(det < 0.0, -1.0, 1.0)
+        dabs = det * g_s
+        sx = ox[sl] - v0x
+        sy = oy[sl] - v0y
+        sz = oz[sl] - v0z
+        u_s = (sx * hx + sy * hy + sz * hz) * g_s
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v_s = (dx[sl] * qx + dy[sl] * qy + dz[sl] * qz) * g_s
+        t_s = (e2x * qx + e2y * qy + e2z * qz) * g_s
+    r = pl.reciprocal(jnp.maximum(dabs, 1e-30), approx=True)
+    t_apx = t_s * r
+    valid = (
+        (dabs > 1e-12)
+        & (u_s >= 0.0) & (v_s >= 0.0) & (u_s + v_s <= dabs)
+        & (t_apx > _T_MIN) & (t_apx < _BIGF)
+    )
+    return jnp.where(valid, t_apx, _BIGF)
+
+
 def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None, hint=None):
     """Closest-hit Moller-Trumbore over all triangles for a (t_sub, 128)
     ray tile -- the triangle analog of ``_sweep``.
 
-    Division-free valid tests (everything scaled by |det|); the candidate
-    key's t uses a fast approximate reciprocal (the key is already quantized
-    by the id bits; the winner's exact t is recomputed in ``_tri_winner``).
-    Padding rows have e1 = e2 = 0 => det = 0 => never valid.
+    Division-free valid tests (everything scaled by |det|) via the shared
+    ``_tri_key_rows`` formula (RT_TRI_FORM picks the arithmetic form); the
+    candidate key's t uses a fast approximate reciprocal (the key is
+    already quantized by the id bits; the winner's exact t is recomputed
+    in ``_tri_winner``). Padding rows have e1 = e2 = 0 => n' = 0 =>
+    det = 0 => never valid.
 
     ``cull``: optional (ord_ref, bnd_ref, act, kind) per-block conservative
     reject (see _closest_tri_two_level) for multi-block flat sweeps.
@@ -1502,41 +1663,18 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None, hint=None):
     n_blocks = m_pad // blk
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
-    # Block-major: load each block's 9 columns once for all ray groups
-    # (see _sweep).
+    # Block-major: load each block's key columns once for all ray groups
+    # (see _sweep; 9 classic / 12 triple -- _tri_key_cols).
     def blk_body(bi, kmins):
         base = pl.multiple_of(bi * blk, blk)
-        cols9 = [tri_ref[pl.ds(base, blk), j : j + 1] for j in range(9)]
-        v0x, v0y, v0z = cols9[0], cols9[1], cols9[2]
-        e1x, e1y, e1z = cols9[3], cols9[4], cols9[5]
-        e2x, e2y, e2z = cols9[6], cols9[7], cols9[8]
+        cols = {
+            j: tri_ref[pl.ds(base, blk), j : j + 1]
+            for j in _tri_key_cols()
+        }
         out = []
         for g in range(t_sub):
             sl = slice(g, g + 1)
-            # h = d x e2 (per pair; d broadcast over the block rows)
-            hx = dy[sl] * e2z - dz[sl] * e2y
-            hy = dz[sl] * e2x - dx[sl] * e2z
-            hz = dx[sl] * e2y - dy[sl] * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            g_s = jnp.where(det < 0.0, -1.0, 1.0)
-            dabs = det * g_s
-            sx = ox[sl] - v0x
-            sy = oy[sl] - v0y
-            sz = oz[sl] - v0z
-            u_s = (sx * hx + sy * hy + sz * hz) * g_s
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v_s = (dx[sl] * qx + dy[sl] * qy + dz[sl] * qz) * g_s
-            t_s = (e2x * qx + e2y * qy + e2z * qz) * g_s
-            r = pl.reciprocal(jnp.maximum(dabs, 1e-30), approx=True)
-            t_apx = t_s * r
-            valid = (
-                (dabs > 1e-12)
-                & (u_s >= 0.0) & (v_s >= 0.0) & (u_s + v_s <= dabs)
-                & (t_apx > _T_MIN) & (t_apx < _BIGF)
-            )
-            key = jnp.where(valid, t_apx, _BIGF)
+            key = _tri_key_rows(lambda j: cols[j], rows, sl)
             ki = (
                 (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
                 | (blk_ids + base)
@@ -1579,13 +1717,15 @@ def _closest_tri_two_level(
     triangles -- the triangle analog of ``_closest_sphere_two_level``.
 
     Stage 1 runs the division-free candidate test over every triangle
-    (identical arithmetic to ``_tri_sweep``) but packs only a per-``_WIN``
-    window minimum (approx-t key | window id). Stage 2 tournament-collapses
-    the 11 triangle columns to the winner window's per-lane (WIN, 128)
-    tiles, recomputes the identical candidate keys there with 7-bit row
-    ids, folds the winner's row out of the collapsed tiles, and hands it to
-    the exact f32 re-test (``_tri_exact``). Replaces the per-column
-    O(M) gather fori that collapsed super-linearly on large meshes.
+    (``_tri_key_rows`` -- the same code the flat sweep runs) but packs only
+    a per-``_WIN`` window minimum (approx-t key | window id). Stage 2
+    tournament-collapses the key columns (the 11 ``_tri_exact`` cols, plus
+    the n' normal when RT_TRI_FORM=triple re-keys with it) to the winner
+    window's per-lane (WIN, 128) tiles, recomputes the identical candidate
+    keys there with 7-bit row ids, folds the winner's row out of the
+    collapsed tiles, and hands it to the exact f32 re-test
+    (``_tri_exact``). Replaces the per-column O(M) gather fori that
+    collapsed super-linearly on large meshes.
 
     Returns what ``_tri_winner`` returns.
     """
@@ -1607,46 +1747,19 @@ def _closest_tri_two_level(
     nohit_r = _f32_bits(_BIGF) & ~rmask
     idx_bits = max((m_pad - 1).bit_length(), win_shift + 1)
 
-    def tri_keys(col, sl):
-        """Division-free M-T candidate key rows -- must match _tri_sweep's
-        arithmetic exactly (stage 1 and stage 2 run the same code)."""
-        v0x, v0y, v0z = col(0), col(1), col(2)
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
-        hx = dy[sl] * e2z - dz[sl] * e2y
-        hy = dz[sl] * e2x - dx[sl] * e2z
-        hz = dx[sl] * e2y - dy[sl] * e2x
-        det = e1x * hx + e1y * hy + e1z * hz
-        g_s = jnp.where(det < 0.0, -1.0, 1.0)
-        dabs = det * g_s
-        sx = ox[sl] - v0x
-        sy = oy[sl] - v0y
-        sz = oz[sl] - v0z
-        u_s = (sx * hx + sy * hy + sz * hz) * g_s
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v_s = (dx[sl] * qx + dy[sl] * qy + dz[sl] * qz) * g_s
-        t_s = (e2x * qx + e2y * qy + e2z * qz) * g_s
-        r = pl.reciprocal(jnp.maximum(dabs, 1e-30), approx=True)
-        t_apx = t_s * r
-        valid = (
-            (dabs > 1e-12)
-            & (u_s >= 0.0) & (v_s >= 0.0) & (u_s + v_s <= dabs)
-            & (t_apx > _T_MIN) & (t_apx < _BIGF)
-        )
-        return jnp.where(valid, t_apx, _BIGF)
-
     # Stage 1 for ALL ray groups per block pass (one set of column loads
     # per block -- see _closest_sphere_two_level's blk_step_all).
     def blk_body(bi, kwins):
         base = pl.multiple_of(bi * blk, blk)
-        cols9 = [tri_ref[pl.ds(base, blk), j : j + 1] for j in range(9)]
+        cols = {
+            j: tri_ref[pl.ds(base, blk), j : j + 1]
+            for j in _tri_key_cols()
+        }
         out = []
         for g in range(t_sub):
             sl = slice(g, g + 1)
             kwin_g = kwins[g]
-            key = tri_keys(lambda j: cols9[j], sl)
+            key = _tri_key_rows(lambda j: cols[j], rows, sl)
             for j in range(nwin_blk):
                 wkey = jnp.min(
                     key[j * _WIN : (j + 1) * _WIN], axis=0, keepdims=True
@@ -1691,29 +1804,35 @@ def _closest_tri_two_level(
         sl = slice(g, g + 1)
         kwin = kwins[g]
 
+        kc = _tri_key_ncols()  # 11 classic / 14 triple (n' for the re-key)
         if mxu_win is not None:
             wid = kwin & wmask
             words = _collapse_window_mxu(
-                mxu_win, wid, n_win=n_win, n_cols=11, win=_WIN
+                mxu_win, wid, n_win=n_win, n_cols=kc, win=_WIN
             )
-            # Geometry (v0/e1/e2) are genuine floats; material words stay
-            # int32 (subnormal/NaN rule -- _tri_exact accepts both).
-            collapsed = [
-                pltpu.bitcast(w, jnp.float32) for w in words[:9]
-            ] + words[9:]
+            # Geometry (v0/e1/e2) and n' are genuine floats; material
+            # words stay int32 (subnormal/NaN rule -- _tri_exact accepts
+            # both).
+            collapsed = (
+                [pltpu.bitcast(w, jnp.float32) for w in words[:9]]
+                + words[9:11]
+                + [pltpu.bitcast(w, jnp.float32) for w in words[11:]]
+            )
         else:
             start = (kwin & wmask) << win_shift
             bit = [((start >> k) & 1) > 0 for k in range(idx_bits)]
             collapsed = _collapse_window_blocked(
-                [(tri_ref, c) for c in range(11)], bit, start, n_rows=m_pad
+                [(tri_ref, c) for c in range(kc)], bit, start, n_rows=m_pad
             )
-        key = tri_keys(lambda j: collapsed[j], sl)
+        key = _tri_key_rows(lambda j: collapsed[j], rows, sl)
         ki = (pltpu.bitcast(key, jnp.int32) & ~rmask) | row_ids
         kmin = jnp.min(ki, axis=0, keepdims=True)
         hit_rows.append(kmin)  # i1 tiles can't concatenate; compare later
         rbit = [((kmin >> k) & 1) > 0 for k in range(win_shift)]
-        for jj, t in enumerate(collapsed):
-            col_rows[jj].append(_fold_to_row(t, rbit))
+        # Only the 11 _tri_exact columns fold to the winner row (n' is
+        # re-key-only; the exact re-test recomputes the true normal).
+        for jj in range(11):
+            col_rows[jj].append(_fold_to_row(collapsed[jj], rbit))
 
     hitk = jnp.concatenate(hit_rows, axis=0) < nohit_r
     cols = [jnp.concatenate(rws, axis=0) for rws in col_rows]
@@ -2972,9 +3091,12 @@ def pack_triangles(
 
     Columns: v0 xyz (0-2), e1 xyz (3-5), e2 xyz (6-8), w1 = alb_r16|alb_g16
     (9), w2 = alb_b16|param16 (10) -- the same material encoding as the
-    sphere shade table -- rest zero. Triangles stay in BVH leaf order (the
-    Scene already stores them permuted; Morton-like locality for free).
-    Padding rows have e1 = e2 = 0 => Moller-Trumbore det = 0 => never hit.
+    sphere shade table -- n' = e2 x e1 xyz (11-13, the precomputed
+    UNNORMALIZED plane normal the sweep's triple-product candidate form
+    reads: det = d.n', t_s = -(s.n') -- see ``_tri_key_rows``), rest zero.
+    Triangles stay in BVH leaf order (the Scene already stores them
+    permuted; Morton-like locality for free). Padding rows have
+    e1 = e2 = 0 => n' = 0 => det = 0 => never hit.
     """
     m = scene.num_triangles
     m_pad = max(m_pad_multiple, 1 << max(m - 1, 1).bit_length())
@@ -3002,18 +3124,30 @@ def pack_triangles(
     w2i = (a16[:, 2] << 16) | p16
     w1 = jax.lax.bitcast_convert_type(w1i, jnp.float32)
     w2 = jax.lax.bitcast_convert_type(w2i, jnp.float32)
+    # n' = e2 x e1: ONE f32 rounding at pack time, read identically by
+    # stage 1 and stage 2 (recomputing it in-kernel could round
+    # differently between fused forms and desynchronize the two stages'
+    # keys). Subnormal-magnitude normals (XLA FTZ flushes them to 0) need
+    # |e1 x e2| < 1e-38, which the sweep's dabs > 1e-12 validity gate
+    # already rejects -- behavior identical to the computed-cross form.
+    nrm = jnp.cross(e2, e1).astype(jnp.float32)
     z = jnp.zeros((m_pad,), jnp.float32)
     table = jnp.stack(
         [v0[:, 0], v0[:, 1], v0[:, 2],
          e1[:, 0], e1[:, 1], e1[:, 2],
          e2[:, 0], e2[:, 1], e2[:, 2],
-         w1, w2, z, z, z, z, z],
+         w1, w2, nrm[:, 0], nrm[:, 1], nrm[:, 2], z, z],
         axis=1,
     )
     if with_win_planes or with_planes:
         # MXU fetch tables; column order must match the kernel's triangle
-        # column order (v0, e1, e2, w1, w2). Int sources for the packed
-        # words (subnormal/NaN rule, see pack_scene).
+        # column order (v0, e1, e2, w1, w2[, n']). Int sources for the
+        # packed words (subnormal/NaN rule, see pack_scene). The flat
+        # winner fetch (with_planes) reads only the 11 _tri_exact columns;
+        # the stage-2 window collapse table (with_win_planes) always
+        # carries all 14 so RT_TRI_FORM=triple can re-key with n' -- the
+        # classic form reads the 11-column prefix (column-major plane
+        # layout makes prefix reads exact).
         fbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
         wcols = [
             fbits(v0[:, 0]), fbits(v0[:, 1]), fbits(v0[:, 2]),
@@ -3021,6 +3155,10 @@ def pack_triangles(
             fbits(e2[:, 0]), fbits(e2[:, 1]), fbits(e2[:, 2]),
             w1i, w2i,
         ]
+        if with_win_planes:
+            wcols += [
+                fbits(nrm[:, 0]), fbits(nrm[:, 1]), fbits(nrm[:, 2]),
+            ]
         planes = (
             _win_plane_table_int(wcols, m_pad, _WIN)
             if with_win_planes

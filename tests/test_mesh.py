@@ -404,6 +404,58 @@ def test_pallas_mesh_two_level_radix_parity(monkeypatch):
         jax.clear_caches()
 
 
+def test_pallas_mesh_triple_form_parity(monkeypatch):
+    """RT_TRI_FORM=triple (the packed-n' triple-product candidate key --
+    measured-rejected probe variant, ops/pallas/trace._tri_form) must
+    still agree with the XLA oracle on BOTH triangle paths: the 1280-tri
+    two-level path (14-column collapse incl. the n' re-key columns) and
+    the 80-tri flat path. Keys may flip near-tie winners vs classic (the
+    accepted class), so the assertion is the standard oracle-parity bound,
+    not bit-equality with the classic form."""
+    import jax
+
+    monkeypatch.setenv("RT_TRI_FORM", "triple")
+    jax.clear_caches()
+    try:
+        for scene, ntri in (
+            (_metal_mesh_scene(), 80),  # flat (m_pad 128)
+        ):
+            assert scene.num_triangles == ntri
+            n = 1024
+            keys = _keys(n, seed=13)
+            d = rrng.unit_vector(keys)
+            o = jnp.zeros((n, 3), jnp.float32)
+            rad_p, seg_p = _run_fused_rays(scene, o, d, 4)
+            rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 4)
+            assert seg_p == int(seg_x), (seg_p, int(seg_x))
+            rx = np.asarray(rad_x)
+            tight = (np.abs(rad_p - rx) <= 1e-3).all(axis=1)
+            assert tight.mean() >= 0.995, f"only {tight.mean():.4f} match"
+        # Two-level path (1280 tris -> m_pad 2048, 256-row stage 1).
+        verts, faces = rmesh.make_icosphere(3)
+        b = SceneBuilder()
+        b.add_metallic_sphere(
+            (0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0
+        )
+        b.add_mesh(
+            verts * 0.8 + np.float32([0.0, 0.3, -2.0]), faces,
+            albedo=(0.8, 0.8, 0.9), kind=MaterialKind.METALLIC, fuzz=0.0,
+        )
+        scene = b.build()
+        n = 1024
+        keys = _keys(n, seed=13)
+        d = rrng.unit_vector(keys)
+        o = jnp.zeros((n, 3), jnp.float32)
+        rad_p, seg_p = _run_fused_rays(scene, o, d, 4)
+        rad_x, seg_x = integrator.trace_rays(scene, o, d, keys, 4)
+        assert seg_p == int(seg_x), (seg_p, int(seg_x))
+        rx = np.asarray(rad_x)
+        tight = (np.abs(rad_p - rx) <= 1e-3).all(axis=1)
+        assert tight.mean() >= 0.995, f"only {tight.mean():.4f} match"
+    finally:
+        jax.clear_caches()
+
+
 def test_pallas_mesh_flat_mxu_matches_radix_bitexact(monkeypatch):
     """The flat (<= _SWEEP_ROWS) triangle winner fetch on the MXU
     (_tri_winner mxu_ref, round 3) must reproduce the VPU radix gather's
