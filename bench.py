@@ -169,7 +169,12 @@ def main() -> None:
     runs = []
     hung = 0
     for rep in range(max(args.repeats, 1)):
-        renderer = rt.Renderer(scene, params, seed=args.seed + 1 + rep, **rkw)
+        # ONE renderer across repeats: reseed() switches the RNG stream
+        # (defeating the tunnel's identical-execution dedupe) while
+        # keeping the measured wave rate, so repeats 1+ size their first
+        # wave from evidence instead of re-paying the 8-spp probe wave
+        # (straggler-tail-expensive; see Renderer._wave_rate).
+        renderer.reseed(args.seed + 1 + rep)
         deadline = (
             max(120.0, 10.0 * runs[0][1]) if runs else _FIRST_RUN_DEADLINE_S
         )

@@ -383,6 +383,16 @@ class Renderer:
         self._tiles_counter = 0
         self._frame_sample_base = 0
         self._image_sum: jnp.ndarray | None = None
+        # Measured spp/s of the last adaptive wave (this scene + camera).
+        # Persists across render() calls and reseed() so repeat renders
+        # size their FIRST wave from evidence instead of paying the 8-spp
+        # probe wave again -- small waves are straggler-tail-expensive
+        # (a wave's kernel programs run until EVERY lane finishes its
+        # chunk, and the per-lane sample-sum sigma makes the stale-lane
+        # tail scale like 1/sqrt(chunk_spp); measured loop floor 5.03
+        # cyc/segment vs 8.2 end-to-end at 8+56-spp waves,
+        # scripts/probe_segment_split.py).
+        self._wave_rate: float | None = None
 
     # -- metric API parity with RayTracer (main.cc:547-566) -----------------
     @property
@@ -411,6 +421,24 @@ class Renderer:
         if not spp:
             return 0.0
         return min(self._samples_done / spp, 1.0)
+
+    def reseed(self, seed: int) -> None:
+        """Point this renderer at a fresh RNG stream for the next render.
+
+        Keeps compiled executables AND the measured wave rate (so repeat
+        renders -- e.g. bench.py's seed-varied best-of-N -- skip the 8-spp
+        probe wave), but drops any accumulated image: a reseeded render
+        cannot be resumed from the previous seed's partial sums (the RNG
+        is keyed by (slot, sample) under ONE seed)."""
+        self.seed = int(seed)
+        self.base_key = jr.key(self.seed)
+        self._image_sum = None
+        self._samples_done = 0
+        self._segments = 0
+        self._pending_segments = []
+        self._elapsed_base = 0.0
+        self._tiles_counter = 0
+        self._frame_sample_base = 0
 
     def render_time(self) -> float:
         """Elapsed wall-clock seconds (running timer until complete, then
@@ -537,8 +565,18 @@ class Renderer:
         adaptive = self.backend == "pallas"
         # Small budgets render in one status-quo wave; larger ones start
         # with an 8-spp probe so the first measurement is cheap even on
-        # expensive scenes.
-        wave_spp = min(chunk_spp, 8) if adaptive and spp > 32 else chunk_spp
+        # expensive scenes -- unless a previous render of this instance
+        # already measured the wave rate, in which case the first wave is
+        # sized to the target directly (repeat renders skip the probe).
+        if adaptive and spp > 32:
+            if self._wave_rate is None:
+                wave_spp = min(chunk_spp, 8)
+            else:
+                wave_spp = max(8, int(self._wave_rate * _WAVE_TARGET_S))
+                if on_progress is not None:
+                    wave_spp = min(wave_spp, chunk_spp)
+        else:
+            wave_spp = chunk_spp
 
         slot_mode = self.backend == "pallas"
         pad = (-total_slots) % pixel_block
@@ -662,6 +700,7 @@ class Renderer:
                 seg_handles.clear()
                 wave_wall = time.perf_counter() - t_wave0
                 rate = this_chunk / max(wave_wall, 1e-3)
+                self._wave_rate = rate
                 wave_spp = max(this_chunk, int(rate * _WAVE_TARGET_S))
                 if on_progress is not None:
                     wave_spp = min(wave_spp, chunk_spp)

@@ -115,7 +115,46 @@ def test_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
-def test_plan_caps_wave_count_for_large_budgets():
+def test_reseed_fresh_stream_keeps_wave_rate():
+    """reseed() must (a) produce the same image as a fresh Renderer with
+    that seed (stream identity -- bench.py's best-of-N relies on it to
+    defeat the tunnel's identical-execution dedupe), (b) drop accumulated
+    state so the next render starts clean, and (c) KEEP the measured wave
+    rate so repeat renders skip the 8-spp probe wave."""
+    cam_params = _params(image_width=32, samples_per_pixel=4)
+    scene = _small_scene()
+    r = Renderer(scene, cam_params, seed=0)
+    img0 = r.render()
+    r._wave_rate = 123.0  # pretend a previous adaptive render measured it
+    r.reseed(7)
+    assert r._wave_rate == 123.0
+    assert r._image_sum is None and r.segments_traced == 0
+    img7 = r.render()
+    fresh7 = Renderer(scene, cam_params, seed=7).render()
+    np.testing.assert_array_equal(img7, fresh7)
+    assert (img7 != img0).any()
+
+
+def test_known_rate_sizes_first_wave_from_evidence():
+    """With a stored wave rate, the first adaptive wave is ~rate * 15 s
+    instead of the 8-spp probe: repeat renders (bench.py) avoid paying the
+    straggler-tail-expensive small wave again. Verified through _plan +
+    the wave-init logic by inspecting samples_done progression via the
+    progress callback (observer present -> capped by the planner chunk,
+    the documented granularity contract)."""
+    p = _params(image_width=32, samples_per_pixel=40)
+    r = Renderer(_small_scene(), p, seed=0)
+    if r.backend != "pallas":
+        return
+    waves = []
+    r.render(spp=40, on_progress=lambda p_: waves.append(p_.samples_done))
+    # Fresh instance, no rate: first wave is the 8-spp probe.
+    assert waves and waves[0] <= 8
+    r2 = Renderer(_small_scene(), p, seed=0)
+    r2._wave_rate = 1e9  # "instant" rate -> first wave jumps to the cap
+    waves2 = []
+    r2.render(spp=40, on_progress=lambda p_: waves2.append(p_.samples_done))
+    assert waves2[0] > 8
     """Straggler amortization: a sample budget is never split into more
     than ~4 waves (a kernel wave ends when ALL lanes finish their chunk,
     so many small chunks pay the long-path tail repeatedly -- measured
