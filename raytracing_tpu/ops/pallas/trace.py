@@ -130,6 +130,19 @@ def _knob(name: str, default: str) -> str:
                         as the probe knob; NOT bit-identical across forms
                         (accepted near-tie class); winner re-test is
                         exact classic M-T either way.
+      RT_WORK_AHEAD     '1' (default) | '0': work-ahead regen in the
+                        RENDERER's wave loop (runtime/renderer.py) --
+                        lanes that reach a wave's per-slot target keep
+                        tracing their own slot's later samples toward the
+                        full budget instead of idling on the tile's
+                        stragglers, so the within-tile straggler tail is
+                        paid once per render, not once per wave. '0'
+                        restores self-contained waves for A/B timing.
+                        Sample set and segment totals are identical
+                        either way (absolute RNG keys; open paths at a
+                        wave boundary are re-traced next wave and their
+                        partial depth is subtracted from the wave's
+                        segment count).
       RT_SWEEP_FMA      '0' (default) | '1': fma-chain association of the
                         flat sweep quadratic -- measured and REJECTED
                         (91.7 vs 112.8 on cover: Mosaic already schedules
@@ -2317,11 +2330,12 @@ def _camera_rays(cam_ref, pxf, pyf, j1, j2, u3, u4):
 def _regen_kernel(
     meta_ref,      # SMEM i32[8]
     cam_ref,       # SMEM f32[20]
+    done_ref,      # VMEM i32[t_sub, 128]: per-slot samples ALREADY done
     geh_ref,       # VMEM f32[N_pad, 8]
     gec_ref,       # VMEM f32[N_pad, 8]
     shade_ref,     # VMEM f32[N_pad, 8|16]
     *rest,         # [mxu_ref][sph_ord sph_bnd][tex_ref][tri_ref]
-                   # [tri_ord tri_bnd] rad_ref, stats_ref
+                   # [tri_ord tri_bnd] rad_ref, stats_ref, dout_ref
     n_pad: int,
     tile_shape: tuple[int, int],
     pixel_order: str,
@@ -2347,8 +2361,9 @@ def _regen_kernel(
         tw = rest.pop(0) if tri_mxu else None
         tbnd = (rest.pop(0), rest.pop(0)) if tri_cull else None
         tris = (tref2, tri_pad, tw, tbnd)
-    rad_ref, stats_ref = rest
-    spp = meta_ref[5]
+    rad_ref, stats_ref, dout_ref = rest
+    spp = meta_ref[5]        # ABSOLUTE per-slot sample budget (cap)
+    t_end = meta_ref[2]      # this wave's guaranteed min-done target
     max_depth = meta_ref[6]
     seed = meta_ref[1]
     sample_start = meta_ref[7]
@@ -2375,8 +2390,21 @@ def _regen_kernel(
             _uniform01_keyed(slot_h, sample_v, zero_i, j) for j in (3, 4, 5, 6)
         )
 
+    # Work-ahead regen (round 3): ``done`` is the ABSOLUTE per-slot count
+    # of completed samples (carried across waves by the renderer). The
+    # wave exits when every lane has completed at least ``t_end`` samples;
+    # lanes that get there early keep tracing their OWN slot's next
+    # samples up to the ``spp`` cap instead of going stale -- the
+    # straggler tail is then paid ONCE at the end-of-budget wave, not per
+    # wave. Exactness: a lane can exit mid-path on its open sample, but
+    # radiance lands only at path TERMINATION (sky on miss), so an open
+    # sample has contributed nothing; the next wave re-traces it from its
+    # camera ray, drawing bit-identical numbers (absolute (slot, sample,
+    # bounce) RNG keys). done0 = 0 with t_end = spp reproduces the
+    # pre-work-ahead program exactly.
+    done0 = done_ref[:, :]
     s0 = zero_i + sample_start
-    u = cam_draws(s0)
+    u = cam_draws(s0 + done0)
     o0 = _camera_rays(cam_ref, pxf, pyf, u[0], u[1], u[2], u[3])
 
     state = (
@@ -2384,14 +2412,14 @@ def _regen_kernel(
         one, one, one,          # throughput rgb
         zero, zero, zero,       # radiance rgb
         zero_i,                 # bounce depth of the current path
-        zero_i,                 # samples completed
+        done0,                  # samples completed (absolute)
         jnp.int32(0),           # segments traced
     )
 
     def cond(state):
         done = state[13]
         # max_depth <= 0 -> black without tracing (core.cc:238-240).
-        return (max_depth > 0) & (jnp.min(done) < spp)
+        return (max_depth > 0) & (jnp.min(done) < t_end)
 
     def body(state):
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
@@ -2461,7 +2489,15 @@ def _regen_kernel(
     rad_ref[0] = state[9]
     rad_ref[1] = state[10]
     rad_ref[2] = state[11]
-    stats_ref[:, :] = jnp.full((8, 128), state[14], jnp.int32)
+    # A work-ahead lane can exit mid-path on an OPEN sample; that sample is
+    # re-traced from its camera ray next wave (see the done0 note above), so
+    # its partial segments would be double counted. The open path's segment
+    # count IS the lane's current depth (regen/stale lanes sit at depth 0),
+    # so subtracting it keeps the total segment count exact across any wave
+    # decomposition -- the invariant the classic chunked plan already has.
+    segments = state[14] - jnp.sum(state[12])
+    stats_ref[:, :] = jnp.full((8, 128), segments, jnp.int32)
+    dout_ref[:, :] = state[13]
 
 
 def _aux_scene_inputs(scene, geom_h, shade, n_actual, n_pad, origin_proxy):
@@ -2597,39 +2633,57 @@ def _tile_split(count: int, tile_rays: int, what: str) -> tuple[int, int]:
     return count // tile_rays, tile_rays // 128
 
 
-def _launch_megakernel(kernel, *, num_tiles, t_sub, in_specs, inputs, interpret):
+def _launch_megakernel(
+    kernel, *, num_tiles, t_sub, in_specs, inputs, interpret,
+    with_done=False,
+):
     """Shared launch plumbing for the two megakernel entry points.
 
-    Both kernels write the same two outputs per grid step: a
-    ``(3, t_sub, 128)`` radiance block and an ``(8, 128)`` tile-replicated
-    stats block. This reshapes radiance to ``(S, 3)`` and reduces the
-    per-tile segment counts. Per-tile counts are int32; the total can
+    Both kernels write a ``(3, t_sub, 128)`` radiance block and an
+    ``(8, 128)`` tile-replicated stats block per grid step; the pixel
+    kernel (``with_done``) additionally writes its per-slot done counts
+    (work-ahead regen). This reshapes radiance to ``(S, 3)`` and reduces
+    the per-tile segment counts. Per-tile counts are int32; the total can
     exceed 2^31 on large waves, so sum in f32 (exact below 2^24 -- covers
     every parity test -- and metrics-grade beyond).
     """
     num_slots = num_tiles * t_sub * 128
-    rad, stats = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (3, t_sub, 128),
+            lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
+    ]
+    if with_done:
+        out_specs.append(
+            pl.BlockSpec(
+                (t_sub, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_slots // 128, 128), jnp.int32)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (3, t_sub, 128),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, num_slots // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interp(interpret),
     )(*inputs)
+    rad, stats = outs[0], outs[1]
     radiance = rad.reshape(3, num_slots).T
     segments = jnp.sum(
         stats.reshape(num_tiles, 8, 128)[:, 0, 0].astype(jnp.float32)
     )
+    if with_done:
+        return radiance, segments, outs[2]
     return radiance, segments
 
 
@@ -2654,10 +2708,12 @@ def _render_pixels_fused(
     spp: jnp.ndarray,
     max_depth: jnp.ndarray,
     *,
+    done=None,
+    t_end=None,
     pixel_order: str = "linear",
     tile_rays: int = DEFAULT_TILE_RAYS,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Trace ``spp`` full paths for each of ``num_slots`` pixel slots.
 
     Slot ``i`` maps to pixel ``slot_base + i`` under ``pixel_order``
@@ -2670,8 +2726,18 @@ def _render_pixels_fused(
     (chunking, resume, spp sharding) draws the identical sample set as one
     big call.
 
-    Returns ``(radiance_sum[num_slots, 3], segments scalar int32)`` where
-    ``radiance_sum`` is the SUM over the ``spp`` samples (caller divides).
+    Work-ahead regen (round 3): ``done`` is an optional
+    ``(num_slots // 128, 128)`` int32 array of per-slot samples ALREADY
+    completed (sums already accumulated by earlier waves) and ``t_end``
+    the per-slot count this wave must REACH; lanes reaching ``t_end``
+    early keep tracing their own slot's samples toward the ``spp`` cap
+    instead of idling until the tile's slowest lane finishes (see
+    ``_regen_kernel``). When both are given, returns a third value: the
+    updated done array to thread into the next wave. Without them
+    (``done=None``), the wave is self-contained -- done = 0, t_end = spp
+    -- and returns the classic 2-tuple
+    ``(radiance_sum[num_slots, 3], segments scalar)`` where
+    ``radiance_sum`` is the SUM over this call's samples (caller divides).
     """
     num_tiles, t_sub = _tile_split(num_slots, tile_rays, "slot count")
     if pixel_order == "linear" and num_slots >= 1 << 23:
@@ -2689,15 +2755,23 @@ def _render_pixels_fused(
     geom_h, geom_c, shade, n_actual = pack_scene(scene)
     n_pad = geom_h.shape[0]
 
+    work_ahead = done is not None
     meta = (
         jnp.array([n_actual, 0, 0, 0, 0, 0, 0, 0], jnp.int32)
         .at[1].set(seed.astype(jnp.int32))
+        # Wave target: min per-slot done the kernel loop must reach. The
+        # classic self-contained wave targets its whole budget.
+        .at[2].set(
+            jnp.asarray(t_end if work_ahead else spp, jnp.int32)
+        )
         .at[3].set(jnp.asarray(map_param, jnp.int32))
         .at[4].set(slot_base.astype(jnp.int32))
         .at[5].set(jnp.asarray(spp, jnp.int32))
         .at[6].set(jnp.asarray(max_depth, jnp.int32))
         .at[7].set(sample_start.astype(jnp.int32))
     )
+    if not work_ahead:
+        done = jnp.zeros((num_slots // 128, 128), jnp.int32)
     cam_vec = jnp.concatenate(
         [
             jnp.asarray(pixel00, jnp.float32),
@@ -2724,21 +2798,26 @@ def _render_pixels_fused(
     )
 
 
-    return _launch_megakernel(
+    out = _launch_megakernel(
         kernel,
         num_tiles=num_tiles,
         t_sub=t_sub,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(                            # per-slot done
+                (t_sub, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_h
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geom_c
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shade
             *tex_specs,                             # texel table
         ],
-        inputs=(meta, cam_vec, geom_h, geom_c, shade, *tex_inputs),
+        inputs=(meta, cam_vec, done, geom_h, geom_c, shade, *tex_inputs),
         interpret=interpret,
+        with_done=True,
     )
+    return out if work_ahead else out[:2]
 
 
 def render_pixels_fused(

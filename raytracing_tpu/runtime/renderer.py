@@ -164,7 +164,9 @@ def _accumulate_step_pallas(
     pixel_order: str,
     mesh=None,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    done=None,
+    t_end=None,
+):
     """One regen-megakernel wave (all pixel slots x a dynamic sample chunk).
 
     ``chunk_spp``/``max_depth`` are runtime scalars so varying chunk sizes
@@ -172,6 +174,14 @@ def _accumulate_step_pallas(
     ``sample_start`` is the wave's absolute first-sample index (the kernel
     RNG is (slot, sample)-keyed, so any chunk decomposition draws the same
     sample set). With a mesh, the wave is sharded over (px, spp) axes.
+
+    Work-ahead regen (single-device path only): with ``done``/``t_end``,
+    ``chunk_spp`` is the ABSOLUTE per-slot budget cap and the call returns
+    ``(image_sum, segments, done_out)`` -- see
+    ``trace._render_pixels_fused``. The sharded mesh path keeps the
+    self-contained wave semantics (its spp axis splits the sample budget
+    with per-shard ``sample_start`` offsets, which is a different, already
+    balanced decomposition).
 
     ``image_sum`` lives in SLOT order (the kernel's work order), so
     accumulation is a pure elementwise add -- no device scatter. The host
@@ -194,7 +204,7 @@ def _accumulate_step_pallas(
             interpret=interpret,
         )
     else:
-        rad_sum, segments = ptrace._render_pixels_fused(
+        out = ptrace._render_pixels_fused(
             scene,
             cam.pixel00,
             cam.pixel_delta_u,
@@ -210,9 +220,15 @@ def _accumulate_step_pallas(
             num_slots,
             chunk_spp,
             max_depth,
+            done=done,
+            t_end=t_end,
             pixel_order=pixel_order,
             interpret=interpret,
         )
+        if done is not None:
+            rad_sum, segments, done_out = out
+            return image_sum + rad_sum, segments, done_out
+        rad_sum, segments = out
     image_sum = image_sum + rad_sum
     return image_sum, segments
 
@@ -324,8 +340,10 @@ def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) 
     return rcolor.rgb_to_u8(mean).reshape(height, width, 3)
 
 
-def _slots_to_u8(slot_sum: jnp.ndarray, inv_samples: float) -> jnp.ndarray:
-    return rcolor.rgb_to_u8(slot_sum * jnp.float32(inv_samples))
+def _slots_to_u8(slot_sum: jnp.ndarray, inv_samples) -> jnp.ndarray:
+    """``inv_samples``: scalar 1/spp, or a per-slot ``(rows, 1)`` array when
+    work-ahead regen has accumulated different sample counts per slot."""
+    return rcolor.rgb_to_u8(slot_sum * jnp.asarray(inv_samples, jnp.float32))
 
 
 def _slots_to_image(
@@ -383,6 +401,9 @@ class Renderer:
         self._tiles_counter = 0
         self._frame_sample_base = 0
         self._image_sum: jnp.ndarray | None = None
+        # Per-slot completed-sample counts (work-ahead regen; None until a
+        # single-device pallas render runs).
+        self._done: jnp.ndarray | None = None
         # Measured spp/s of the last adaptive wave (this scene + camera).
         # Persists across render() calls and reseed() so repeat renders
         # size their FIRST wave from evidence instead of paying the 8-spp
@@ -439,6 +460,7 @@ class Renderer:
         self._elapsed_base = 0.0
         self._tiles_counter = 0
         self._frame_sample_base = 0
+        self._done = None
 
     def render_time(self) -> float:
         """Elapsed wall-clock seconds (running timer until complete, then
@@ -608,6 +630,18 @@ class Renderer:
                 )
             return arr
 
+        # Work-ahead regen (single-device pallas): per-slot done counts are
+        # carried across waves so lanes that finish a wave's target early
+        # keep tracing their own slot's samples -- only the FINAL wave pays
+        # the within-tile straggler tail (see trace._regen_kernel).
+        # RT_WORK_AHEAD=0 restores self-contained waves (A/B knob).
+        work_ahead = slot_mode and self.mesh is None
+        if work_ahead:
+            from ..ops.pallas.trace import _knob
+
+            work_ahead = _knob("RT_WORK_AHEAD", "1") != "0"
+        done_dev: jnp.ndarray | None = None
+
         resuming = (
             resume and self._image_sum is not None and self._samples_done > 0
         )
@@ -616,8 +650,25 @@ class Renderer:
             image_sum = self._image_sum
             sample_start = self._samples_done
             tiles_so_far = self._tiles_counter
+            if work_ahead:
+                done_dev = self._done
+                if done_dev is None:
+                    # Pre-work-ahead state (or an old checkpoint): every
+                    # slot is exactly at the wave boundary.
+                    done_dev = jnp.full(
+                        (pixel_block // 128, 128), sample_start, jnp.int32
+                    )
             if sample_start >= spp:
-                return to_host_image(snapshot_u8(image_sum, 1.0 / sample_start))
+                # Work-ahead slots can hold MORE than sample_start samples
+                # (a mid-render checkpoint resumed toward a smaller target)
+                # -- normalize per slot in that case.
+                if done_dev is not None:
+                    inv = (
+                        1.0 / jnp.maximum(done_dev, 1).astype(jnp.float32)
+                    ).reshape(-1, 1)
+                else:
+                    inv = 1.0 / sample_start
+                return to_host_image(snapshot_u8(image_sum, inv))
         else:
             if slot_mode:
                 image_sum = jnp.zeros((len(all_ids), 3), jnp.float32)
@@ -628,6 +679,8 @@ class Renderer:
             tiles_so_far = 0
             self._segments = 0
             self._elapsed_base = 0.0
+            if work_ahead:
+                done_dev = jnp.zeros((pixel_block // 128, 128), jnp.int32)
 
         self._samples_done = sample_start
         self._start_time = time.perf_counter()
@@ -643,7 +696,30 @@ class Renderer:
             if adaptive:
                 t_wave0 = time.perf_counter()
             for ids, sbase in zip(id_blocks, slot_bases):
-                if self.backend == "pallas":
+                if self.backend == "pallas" and work_ahead:
+                    # Work-ahead wave: the kernel gets the FULL budget
+                    # (spp) as its cap, this wave's cumulative target, and
+                    # the carried per-slot done counts. RNG ids are
+                    # sample_start-free here: done is absolute.
+                    image_sum, segments, done_dev = _accumulate_step_pallas(
+                        image_sum,
+                        self.scene,
+                        cam,
+                        map_param,
+                        jnp.int32(sbase),
+                        pallas_seed,
+                        jnp.int32(0),
+                        jnp.int32(spp),
+                        jnp.int32(max_depth),
+                        pixel_block,
+                        pixel_order,
+                        self.mesh,
+                        self._pallas_interpret,
+                        done=done_dev,
+                        t_end=jnp.int32(sample_start + this_chunk),
+                    )
+                    tiles_so_far += pixel_block // DEFAULT_TILE_RAYS
+                elif self.backend == "pallas":
                     image_sum, segments = _accumulate_step_pallas(
                         image_sum,
                         self.scene,
@@ -690,6 +766,7 @@ class Renderer:
             # Keep live references so Ctrl-C/checkpointing mid-render can
             # persist the latest completed chunk.
             self._image_sum = image_sum
+            self._done = done_dev
             self._tiles_counter = tiles_so_far
             chunk_index += 1
 
@@ -714,8 +791,16 @@ class Renderer:
                 done = sample_start
                 # Convert the snapshot to u8 NOW (cheap, on device, and safe
                 # against buffer donation by later steps); fetching to host is
-                # deferred until .preview() is actually called.
-                snap = snapshot_u8(image_sum, 1.0 / done)
+                # deferred until .preview() is actually called. Work-ahead
+                # slots carry MORE than `done` samples -- normalize per slot.
+                if work_ahead and sample_start < spp:
+                    inv = (
+                        1.0
+                        / jnp.maximum(done_dev, 1).astype(jnp.float32)
+                    ).reshape(-1, 1)
+                else:
+                    inv = 1.0 / done
+                snap = snapshot_u8(image_sum, inv)
                 on_progress(
                     RenderProgress(
                         samples_done=done,
@@ -727,7 +812,18 @@ class Renderer:
                     )
                 )
 
-        image_u8_dev = snapshot_u8(image_sum, 1.0 / spp)
+        if work_ahead:
+            # Normally every slot lands on exactly spp samples (the final
+            # wave's cap); per-slot counts also stay exact if a work-ahead
+            # checkpoint is resumed toward a smaller target.
+            image_u8_dev = snapshot_u8(
+                image_sum,
+                (
+                    1.0 / jnp.maximum(done_dev, 1).astype(jnp.float32)
+                ).reshape(-1, 1),
+            )
+        else:
+            image_u8_dev = snapshot_u8(image_sum, 1.0 / spp)
         image_np = None if as_device_array else to_host_image(image_u8_dev)
         self._segments += int(sum(int(s) for s in seg_handles))
         self._end_time = time.perf_counter()
@@ -895,6 +991,12 @@ class Renderer:
             raise ValueError("nothing rendered yet; no state to checkpoint")
         if not str(path).endswith(".npz"):
             path = f"{path}.npz"
+        extra = {}
+        if self._done is not None:
+            # Work-ahead regen: slots may carry MORE than samples_done
+            # samples (their sums are already in image_sum). Without this
+            # array a resume would re-trace and double count them.
+            extra["done"] = np.asarray(jax.device_get(self._done))
         np.savez_compressed(
             path,
             image_sum=np.asarray(jax.device_get(self._image_sum)),
@@ -906,6 +1008,7 @@ class Renderer:
             # Framebuffer layout: the pallas backend accumulates in kernel
             # slot order, the xla backend in pixel order (+ spill row).
             layout="slot" if self.backend == "pallas" else "pixel",
+            **extra,
         )
 
     def load_checkpoint(self, path: str) -> int:
@@ -946,6 +1049,10 @@ class Renderer:
                 "padding); resume with the mesh that produced the checkpoint"
             )
         self._image_sum = jnp.asarray(data["image_sum"])
+        # Per-slot work-ahead counts (absent in pre-work-ahead checkpoints,
+        # where every slot sits exactly at the samples_done boundary --
+        # render(resume=True) reconstructs that case from samples_done).
+        self._done = jnp.asarray(data["done"]) if "done" in data else None
         self._samples_done = int(data["samples_done"])
         self._segments = int(data["segments"])
         self._tiles_counter = int(data["tiles_counter"])

@@ -135,6 +135,86 @@ def test_reseed_fresh_stream_keeps_wave_rate():
     assert (img7 != img0).any()
 
 
+def test_work_ahead_multi_wave_matches_single_wave():
+    """Work-ahead regen: lanes that reach a wave's target keep tracing
+    their own slot's samples toward the full budget instead of idling on
+    the tile's stragglers. Any wave decomposition must (a) trace the
+    identical sample set (absolute (slot, sample, bounce) RNG keys),
+    (b) report the EXACT same segment total (open paths at a wave
+    boundary are re-traced next wave; the kernel subtracts their partial
+    depth so nothing is double counted), and (c) reproduce the image to
+    f32 summation-order roundoff."""
+    scene = _small_scene()
+    p = _params(
+        aspect_ratio=1.0, image_width=32, samples_per_pixel=32, max_depth=6
+    )
+    # 32x32 image -> 1024 slots; max_rays_per_batch=256 with an observer
+    # plans chunk_spp=16: exactly two deterministic waves (spp=32 skips
+    # the adaptive probe).
+    r2w = Renderer(
+        scene, p, seed=5, backend="pallas", max_rays_per_batch=256
+    )
+    worked_ahead = []
+
+    def spy(prog):
+        if prog.samples_done < prog.samples_total:
+            done = np.asarray(r2w._done)
+            worked_ahead.append((done > prog.samples_done).any())
+            assert (done >= prog.samples_done).all()
+
+    img_2w = r2w.render(on_progress=spy)
+    # The feature must actually engage: some lane finished wave 1's
+    # 16-sample target early and traced ahead.
+    assert worked_ahead and any(worked_ahead)
+    assert np.asarray(r2w._done).min() == 32  # final wave drains to spp
+
+    r1w = Renderer(scene, p, seed=5, backend="pallas")
+    img_1w = r1w.render()
+    assert r2w.segments_traced == r1w.segments_traced
+    np.testing.assert_allclose(
+        np.asarray(r2w._image_sum),
+        np.asarray(r1w._image_sum),
+        rtol=1e-5,
+        atol=2e-5,
+    )
+    # u8 quantization absorbs the last-ulp regrouping differences.
+    assert int(np.abs(img_2w.astype(int) - img_1w.astype(int)).max()) <= 1
+
+
+def test_work_ahead_checkpoint_resume_exact(tmp_path):
+    """A checkpoint taken at a work-ahead wave boundary carries the
+    per-slot done counts; resuming must not re-trace (= double count)
+    samples whose sums are already in image_sum."""
+    scene = _small_scene()
+    p = _params(
+        aspect_ratio=1.0, image_width=32, samples_per_pixel=32, max_depth=6
+    )
+    path = str(tmp_path / "ckpt.npz")
+    r = Renderer(scene, p, seed=9, backend="pallas", max_rays_per_batch=256)
+    saved = []
+
+    def save_once(prog):
+        if not saved and prog.samples_done < prog.samples_total:
+            r.save_checkpoint(path)
+            saved.append(prog.samples_done)
+
+    img_full = r.render(on_progress=save_once)
+    assert saved and saved[0] < 32
+
+    r2 = Renderer(scene, p, seed=9, backend="pallas", max_rays_per_batch=256)
+    assert r2.load_checkpoint(path) == saved[0]
+    assert r2._done is not None
+    img_resumed = r2.render(resume=True)
+    np.testing.assert_array_equal(img_resumed, img_full)
+    np.testing.assert_allclose(
+        np.asarray(r2._image_sum),
+        np.asarray(r._image_sum),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    assert np.asarray(r2._done).min() == 32
+
+
 def test_known_rate_sizes_first_wave_from_evidence():
     """With a stored wave rate, the first adaptive wave is ~rate * 15 s
     instead of the 8-spp probe: repeat renders (bench.py) avoid paying the
