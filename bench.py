@@ -9,7 +9,7 @@ SURVEY.md section 3.3 cost model). vs_baseline is the ratio against the
 500 Mrays/s/chip target from BASELINE.json (the reference itself publishes no
 numbers -- BASELINE.md).
 
-Measurement protocol: best of ``--repeats`` (default 3) fully-warm renders.
+Measurement protocol: best of ``--repeats`` (default 5) fully-warm renders.
 The remote-TPU tunnel's health oscillates ~2x over hours (CLAUDE.md
 environment notes), so a single warm run is a coin flip -- round 2's driver
 metric REGRESSED 85.5 -> 77.6 Mrays/s across a round that made the kernel
@@ -86,8 +86,12 @@ def main() -> None:
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
-        "--repeats", type=int, default=3,
-        help="timed warm renders (seed-varied; best one is reported)",
+        "--repeats", type=int, default=5,
+        help="timed warm renders (seed-varied; best one is reported). "
+        "Repeats are cheap (wave-rate memory: one renderer, reseed() "
+        "keeps the measured rate and compiled executables), and the "
+        "tunnel's contention is bursty, so a larger best-of tightens "
+        "the uncontended-rate estimate at ~3 s per extra repeat.",
     )
     ap.add_argument(
         "--max-rays-per-batch", type=int, default=None,
