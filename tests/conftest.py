@@ -36,6 +36,36 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _ensure_native_built() -> None:
+    """Build ``native/librtnative.so`` once when absent so a fresh checkout
+    runs the native-helper tests instead of skipping them (the lib is a
+    build artifact, never checked in). Failures are swallowed: without a
+    toolchain the three ``needs_native`` tests skip gracefully as before.
+    ``RT_NATIVE_LIB`` pointing elsewhere disables the auto-build."""
+    import shutil
+    import subprocess
+
+    if os.environ.get("RT_NATIVE_LIB"):
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.exists(os.path.join(root, "native", "librtnative.so")):
+        return
+    if shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(root, "native")],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
+_ensure_native_built()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
