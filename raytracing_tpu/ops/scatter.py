@@ -19,9 +19,15 @@ Per-model parity (file:line into /root/reference):
   face else ior; reflect on total internal reflection OR with Schlick
   probability, else Snell refraction. Always scatters; attenuation = 1.
 
-The scattered ray origin is the hit point itself (no normal offset): the
-reference relies on the t_min = 1e-4 interval to avoid self-intersection
-(``ray.tracer.core.cc:243``), and so do we.
+Scattered-ray origin: the reference restarts at the hit point itself and
+relies on the t_min = 1e-4 interval to avoid self-intersection
+(``ray.tracer.core.cc:243``). This module follows that -- ``scatter`` returns
+directions only and never offsets origins -- but the INTEGRATORS deviate
+deliberately: both restart the next segment at
+``hit + SELF_HIT_OFFSET * normal`` (``models/integrator.py`` SELF_HIT_OFFSET
+and the kernel's matching anti-acne restart offset in
+``ops/pallas/trace.py::_bounce_core``; rationale in ARCHITECTURE.md section 2:
+the packed-key argmin quantizes t, so the interval trick alone is not enough).
 """
 
 from __future__ import annotations

@@ -19,7 +19,7 @@ Both plug into ``Renderer.render(on_progress=...)`` (runtime/renderer.py),
 which mirrors the metric API of the reference's ``RayTracer``
 (``main.cc:547-566``).
 
-If the optional C++ runtime helper (native/termview.cc) is built, frame
+If the optional C++ runtime helper (native/rtnative.cc) is built, frame
 composition uses it; otherwise a numpy composer is used.
 """
 

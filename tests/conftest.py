@@ -37,30 +37,52 @@ import pytest  # noqa: E402
 
 
 def _ensure_native_built() -> None:
-    """Build ``native/librtnative.so`` once when absent so a fresh checkout
-    runs the native-helper tests instead of skipping them (the lib is a
-    build artifact, never checked in). Failures are swallowed: without a
-    toolchain the three ``needs_native`` tests skip gracefully as before.
-    ``RT_NATIVE_LIB`` pointing elsewhere disables the auto-build."""
+    """Build ``native/librtnative.so`` so the native-helper tests run instead
+    of skipping (the lib is a build artifact, never checked in). ``make`` is
+    ALWAYS invoked (an up-to-date .so makes it a ~instant no-op) so edits to
+    native/rtnative.cc are picked up by mtime instead of silently testing a
+    stale library. Concurrent pytest processes serialize on an exclusive
+    flock so no reader ever dlopens a partially written .so. Build failures
+    emit a one-line warning and the ``needs_native`` tests skip gracefully
+    as before. ``RT_NATIVE_LIB`` pointing elsewhere disables the auto-build."""
+    import fcntl
     import shutil
     import subprocess
+    import sys
 
     if os.environ.get("RT_NATIVE_LIB"):
         return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if os.path.exists(os.path.join(root, "native", "librtnative.so")):
-        return
+    native_dir = os.path.join(root, "native")
     if shutil.which("make") is None:
+        print(
+            "conftest: 'make' not found; native helpers not built "
+            "(needs_native tests will skip)",
+            file=sys.stderr,
+        )
         return
     try:
-        subprocess.run(
-            ["make", "-C", os.path.join(root, "native")],
-            capture_output=True,
-            timeout=120,
-            check=False,
+        with open(os.path.join(native_dir, ".build.lock"), "a+") as lock:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            proc = subprocess.run(
+                ["make", "-C", native_dir],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
+        if proc.returncode != 0:
+            print(
+                f"conftest: native auto-build failed (make exited "
+                f"{proc.returncode}); needs_native tests will skip. "
+                f"stderr tail: {proc.stderr.decode(errors='replace')[-300:]}",
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        print(
+            f"conftest: native auto-build errored ({exc!r}); "
+            "needs_native tests will skip",
+            file=sys.stderr,
         )
-    except Exception:
-        pass
 
 
 _ensure_native_built()
