@@ -107,7 +107,9 @@ def render_pixels_fused_sharded(
     mesh: Mesh,
     pixel_order: str = "tiled",
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    done: jnp.ndarray | None = None,
+    t_end: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, ...]:
     """Regen megakernel under ``shard_map``: the multi-chip flagship path.
 
     Work decomposition over the (px, spp) mesh:
@@ -124,6 +126,25 @@ def render_pixels_fused_sharded(
     set; radiance agrees to f32 summation-order roundoff and segment counts
     match exactly. Returns
     ``(radiance_sum[num_slots, 3] sharded over px, segments)``.
+
+    Work-ahead regen (round 4 -- the multi-chip analog of the single-device
+    straggler-tail fix, ``trace._regen_kernel``): with ``done``/``t_end``,
+    ``chunk_spp`` is instead the FULL per-slot sample budget. Each ``spp``
+    shard ``s`` permanently owns the absolute sample range
+    ``[sample_start + s*budget//n, sample_start + (s+1)*budget//n)`` and
+    carries its own per-slot done counts across waves, so lanes finishing a
+    wave's target early keep tracing their shard's later samples instead of
+    idling until the tile's slowest lane finishes. ``t_end`` is the GLOBAL
+    cumulative per-slot target (across all shards); it is apportioned to
+    shard ``s`` as ``t*(s+1)//n - t*s//n`` clamped to the shard's own budget
+    -- monotone pacing whose final wave (``t_end == budget``) completes every
+    shard exactly. ``done`` is the global ``(n_sp * num_slots/128, 128)``
+    int32 array sharded over (spp, px); shard ``s``'s counts are LOCAL to
+    its range (0 .. its budget share). The union of shard ranges is exactly
+    ``[sample_start, sample_start + budget)``, so the sample set -- and the
+    in-kernel exact segment accounting -- is identical to the unsharded and
+    the self-contained-wave decompositions. Returns a third value: the
+    updated done array to thread into the next wave.
     """
     from ..ops.pallas import trace as ptrace
     from ..runtime import tiling as rtiling
@@ -136,6 +157,9 @@ def render_pixels_fused_sharded(
             f"num_slots {num_slots} must divide over {n_px} px shards in "
             f"multiples of the {tile}-slot kernel tile"
         )
+    work_ahead = done is not None
+    if work_ahead and t_end is None:
+        raise ValueError("work-ahead needs both done and t_end")
     local_slots = num_slots // n_px
     if pixel_order == "tiled":
         map_param = rtiling.tiles_per_row(cam.image_width)
@@ -143,14 +167,29 @@ def render_pixels_fused_sharded(
         map_param = cam.image_width
 
     def local_fn(scene, cam, slot_base, seed, sample_start, chunk_spp,
-                 max_depth):
+                 max_depth, *wa):
         px_idx = jax.lax.axis_index(AXIS_PIXELS)
         sp_idx = jax.lax.axis_index(AXIS_SAMPLES)
         base = slot_base + px_idx * jnp.int32(local_slots)
+        # chunk_spp is the wave's chunk (self-contained mode) or the FULL
+        # per-slot budget (work-ahead mode); either way shard s owns its
+        # fair contiguous slice of it.
         lo = (chunk_spp * sp_idx) // n_sp
         hi = (chunk_spp * (sp_idx + 1)) // n_sp
         local_spp = (hi - lo).astype(jnp.int32)
-        rad, seg = ptrace._render_pixels_fused(
+        kwargs = dict(pixel_order=pixel_order, interpret=interpret)
+        if work_ahead:
+            done_local, t_target = wa
+            # Shard-local cumulative target: fair split of the global
+            # target, clamped to this shard's own budget share (the clamp
+            # only matters for off-by-one floor wobble; the final wave's
+            # t_target == budget hits local_spp exactly).
+            u = (
+                (t_target * (sp_idx + 1)) // n_sp
+                - (t_target * sp_idx) // n_sp
+            ).astype(jnp.int32)
+            kwargs.update(done=done_local, t_end=jnp.minimum(u, local_spp))
+        out = ptrace._render_pixels_fused(
             scene,
             cam.pixel00,
             cam.pixel_delta_u,
@@ -166,19 +205,29 @@ def render_pixels_fused_sharded(
             local_slots,
             local_spp,
             max_depth,
-            pixel_order=pixel_order,
-            interpret=interpret,
+            **kwargs,
         )
-        rad = jax.lax.psum(rad, AXIS_SAMPLES)
-        seg = jax.lax.psum(seg, (AXIS_PIXELS, AXIS_SAMPLES))
+        rad = jax.lax.psum(out[0], AXIS_SAMPLES)
+        seg = jax.lax.psum(out[1], (AXIS_PIXELS, AXIS_SAMPLES))
+        if work_ahead:
+            return rad, seg, out[2]
         return rad, seg
 
+    in_specs = [P(), P(), P(), P(), P(), P(), P()]
+    out_specs = [P(AXIS_PIXELS), P()]
+    args = (scene, cam, slot_base, seed, sample_start, chunk_spp, max_depth)
+    if work_ahead:
+        # done rows: spp-shard major, px-shard minor -- each device sees its
+        # own (local_slots/128, 128) block; no collective touches it.
+        in_specs += [P((AXIS_SAMPLES, AXIS_PIXELS)), P()]
+        out_specs += [P((AXIS_SAMPLES, AXIS_PIXELS))]
+        args += (done, t_end)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(AXIS_PIXELS), P()),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
         # pallas_call out_shapes carry no varying-mesh-axes metadata; the
         # kernel is per-device-independent by construction.
         check_vma=False,
-    )(scene, cam, slot_base, seed, sample_start, chunk_spp, max_depth)
+    )(*args)

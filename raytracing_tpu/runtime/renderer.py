@@ -175,13 +175,13 @@ def _accumulate_step_pallas(
     RNG is (slot, sample)-keyed, so any chunk decomposition draws the same
     sample set). With a mesh, the wave is sharded over (px, spp) axes.
 
-    Work-ahead regen (single-device path only): with ``done``/``t_end``,
-    ``chunk_spp`` is the ABSOLUTE per-slot budget cap and the call returns
+    Work-ahead regen: with ``done``/``t_end``, ``chunk_spp`` is the
+    ABSOLUTE per-slot budget cap and the call returns
     ``(image_sum, segments, done_out)`` -- see
-    ``trace._render_pixels_fused``. The sharded mesh path keeps the
-    self-contained wave semantics (its spp axis splits the sample budget
-    with per-shard ``sample_start`` offsets, which is a different, already
-    balanced decomposition).
+    ``trace._render_pixels_fused``. With a mesh, each ``spp`` shard owns a
+    contiguous slice of the budget and carries its own per-slot done block
+    (``shard.render_pixels_fused_sharded``); ``t_end`` stays the GLOBAL
+    cumulative target and ``done`` the (n_sp * rows, 128) global array.
 
     ``image_sum`` lives in SLOT order (the kernel's work order), so
     accumulation is a pure elementwise add -- no device scatter. The host
@@ -190,7 +190,7 @@ def _accumulate_step_pallas(
     from ..ops.pallas import trace as ptrace
 
     if mesh is not None:
-        rad_sum, segments = rshard.render_pixels_fused_sharded(
+        out = rshard.render_pixels_fused_sharded(
             scene,
             cam,
             slot_base,
@@ -202,7 +202,13 @@ def _accumulate_step_pallas(
             mesh,
             pixel_order=pixel_order,
             interpret=interpret,
+            done=done,
+            t_end=t_end,
         )
+        if done is not None:
+            rad_sum, segments, done_out = out
+            return image_sum + rad_sum, segments, done_out
+        rad_sum, segments = out
     else:
         out = ptrace._render_pixels_fused(
             scene,
@@ -402,8 +408,12 @@ class Renderer:
         self._frame_sample_base = 0
         self._image_sum: jnp.ndarray | None = None
         # Per-slot completed-sample counts (work-ahead regen; None until a
-        # single-device pallas render runs).
+        # pallas render runs). Unsharded: one (rows, 128) block of absolute
+        # counts. Sharded: n_sp stacked blocks, shard s's counts LOCAL to
+        # its contiguous budget slice (see shard.render_pixels_fused_sharded)
+        # -- _done_budget records the spp whose split laid them out.
         self._done: jnp.ndarray | None = None
+        self._done_budget: int | None = None
         # Measured spp/s of the last adaptive wave (this scene + camera).
         # Persists across render() calls and reseed() so repeat renders
         # size their FIRST wave from evidence instead of paying the 8-spp
@@ -461,6 +471,39 @@ class Renderer:
         self._tiles_counter = 0
         self._frame_sample_base = 0
         self._done = None
+        self._done_budget = None
+
+    # -- work-ahead done bookkeeping (shapes depend on the mesh) -------------
+    def _work_ahead_shards(self) -> int:
+        """Stacked done blocks: one per spp mesh shard (1 unsharded)."""
+        return self.mesh.shape["spp"] if self.mesh is not None else 1
+
+    def _prefix_done_np(self, rows: int, k: int, budget: int) -> np.ndarray:
+        """Done counts for a state whose completed set is the absolute
+        sample prefix ``[0, k)``, laid out under a ``budget``-sample split:
+        shard ``s`` owns the contiguous slice ``[s*budget//n, (s+1)*
+        budget//n)``, so a prefix fills each shard's own local prefix."""
+        n_sp = self._work_ahead_shards()
+        if n_sp == 1:
+            return np.full((rows, 128), k, np.int32)
+        blocks = []
+        for s in range(n_sp):
+            lo = (budget * s) // n_sp
+            hi = (budget * (s + 1)) // n_sp
+            blocks.append(
+                np.full((rows, 128), min(max(k - lo, 0), hi - lo), np.int32)
+            )
+        return np.concatenate(blocks, axis=0)
+
+    def _per_slot_done(self, done_dev: jnp.ndarray) -> jnp.ndarray:
+        """``(slots, 1)`` per-slot completed-sample counts -- the sum of the
+        spp shards' local blocks under a mesh (split-independent, so valid
+        for normalization whatever budget laid the blocks out)."""
+        if self._work_ahead_shards() > 1:
+            done_dev = done_dev.reshape(
+                self._work_ahead_shards(), -1, 128
+            ).sum(axis=0)
+        return done_dev.reshape(-1, 1)
 
     def render_time(self) -> float:
         """Elapsed wall-clock seconds (running timer until complete, then
@@ -630,17 +673,19 @@ class Renderer:
                 )
             return arr
 
-        # Work-ahead regen (single-device pallas): per-slot done counts are
+        # Work-ahead regen (pallas, sharded or not): per-slot done counts are
         # carried across waves so lanes that finish a wave's target early
         # keep tracing their own slot's samples -- only the FINAL wave pays
-        # the within-tile straggler tail (see trace._regen_kernel).
+        # the within-tile straggler tail (see trace._regen_kernel; the
+        # sharded layout is shard.render_pixels_fused_sharded's).
         # RT_WORK_AHEAD=0 restores self-contained waves (A/B knob).
-        work_ahead = slot_mode and self.mesh is None
+        work_ahead = slot_mode
         if work_ahead:
             from ..ops.pallas.trace import _knob
 
             work_ahead = _knob("RT_WORK_AHEAD", "1") != "0"
         done_dev: jnp.ndarray | None = None
+        done_rows = pixel_block // 128
 
         resuming = (
             resume and self._image_sum is not None and self._samples_done > 0
@@ -653,22 +698,56 @@ class Renderer:
             if work_ahead:
                 done_dev = self._done
                 if done_dev is None:
-                    # Pre-work-ahead state (or an old checkpoint): every
-                    # slot is exactly at the wave boundary.
-                    done_dev = jnp.full(
-                        (pixel_block // 128, 128), sample_start, jnp.int32
+                    # Pre-work-ahead state (or an old checkpoint): the
+                    # completed set is exactly the prefix [0, sample_start)
+                    # (true for every self-contained decomposition).
+                    done_dev = jnp.asarray(
+                        self._prefix_done_np(done_rows, sample_start, spp)
                     )
+                    self._done_budget = spp
             if sample_start >= spp:
                 # Work-ahead slots can hold MORE than sample_start samples
                 # (a mid-render checkpoint resumed toward a smaller target)
-                # -- normalize per slot in that case.
+                # -- normalize per slot in that case. Per-slot TOTALS are
+                # split-independent, so this is valid whatever budget laid
+                # the done blocks out.
                 if done_dev is not None:
-                    inv = (
-                        1.0 / jnp.maximum(done_dev, 1).astype(jnp.float32)
-                    ).reshape(-1, 1)
+                    inv = 1.0 / jnp.maximum(
+                        self._per_slot_done(done_dev), 1
+                    ).astype(jnp.float32)
                 else:
                     inv = 1.0 / sample_start
                 return to_host_image(snapshot_u8(image_sum, inv))
+            if (
+                work_ahead
+                and self._done is not None
+                and self._work_ahead_shards() > 1
+                and self._done_budget != spp
+            ):
+                # The sharded done layout depends on the budget split. A
+                # state at a wave boundary (e.g. a COMPLETED previous
+                # render) is the prefix [0, sample_start) in any split --
+                # rebuild it under the new one; a ragged mid-work-ahead
+                # state cannot be re-split.
+                arr = np.asarray(jax.device_get(done_dev))
+                old = (
+                    None
+                    if self._done_budget is None
+                    else self._prefix_done_np(
+                        done_rows, sample_start, int(self._done_budget)
+                    )
+                )
+                if old is None or not np.array_equal(arr, old):
+                    raise ValueError(
+                        "cannot resume a mid-render sharded work-ahead "
+                        f"state toward a different spp (state split at "
+                        f"{self._done_budget}, target {spp}); finish the "
+                        "render at the original spp first"
+                    )
+                done_dev = jnp.asarray(
+                    self._prefix_done_np(done_rows, sample_start, spp)
+                )
+                self._done_budget = spp
         else:
             if slot_mode:
                 image_sum = jnp.zeros((len(all_ids), 3), jnp.float32)
@@ -680,7 +759,10 @@ class Renderer:
             self._segments = 0
             self._elapsed_base = 0.0
             if work_ahead:
-                done_dev = jnp.zeros((pixel_block // 128, 128), jnp.int32)
+                done_dev = jnp.zeros(
+                    (self._work_ahead_shards() * done_rows, 128), jnp.int32
+                )
+                self._done_budget = spp
 
         self._samples_done = sample_start
         self._start_time = time.perf_counter()
@@ -718,7 +800,10 @@ class Renderer:
                         done=done_dev,
                         t_end=jnp.int32(sample_start + this_chunk),
                     )
-                    tiles_so_far += pixel_block // DEFAULT_TILE_RAYS
+                    n_sp = (
+                        self.mesh.shape["spp"] if self.mesh is not None else 1
+                    )
+                    tiles_so_far += (pixel_block // DEFAULT_TILE_RAYS) * n_sp
                 elif self.backend == "pallas":
                     image_sum, segments = _accumulate_step_pallas(
                         image_sum,
@@ -794,10 +879,9 @@ class Renderer:
                 # deferred until .preview() is actually called. Work-ahead
                 # slots carry MORE than `done` samples -- normalize per slot.
                 if work_ahead and sample_start < spp:
-                    inv = (
-                        1.0
-                        / jnp.maximum(done_dev, 1).astype(jnp.float32)
-                    ).reshape(-1, 1)
+                    inv = 1.0 / jnp.maximum(
+                        self._per_slot_done(done_dev), 1
+                    ).astype(jnp.float32)
                 else:
                     inv = 1.0 / done
                 snap = snapshot_u8(image_sum, inv)
@@ -818,9 +902,9 @@ class Renderer:
             # checkpoint is resumed toward a smaller target.
             image_u8_dev = snapshot_u8(
                 image_sum,
-                (
-                    1.0 / jnp.maximum(done_dev, 1).astype(jnp.float32)
-                ).reshape(-1, 1),
+                1.0 / jnp.maximum(
+                    self._per_slot_done(done_dev), 1
+                ).astype(jnp.float32),
             )
         else:
             image_u8_dev = snapshot_u8(image_sum, 1.0 / spp)
@@ -997,6 +1081,11 @@ class Renderer:
             # samples (their sums are already in image_sum). Without this
             # array a resume would re-trace and double count them.
             extra["done"] = np.asarray(jax.device_get(self._done))
+            if self._done_budget is not None:
+                # Sharded done blocks are laid out by the budget split
+                # (shard.render_pixels_fused_sharded); a resume toward a
+                # different spp needs this to validate/re-split them.
+                extra["done_budget"] = self._done_budget
         np.savez_compressed(
             path,
             image_sum=np.asarray(jax.device_get(self._image_sum)),
@@ -1052,7 +1141,21 @@ class Renderer:
         # Per-slot work-ahead counts (absent in pre-work-ahead checkpoints,
         # where every slot sits exactly at the samples_done boundary --
         # render(resume=True) reconstructs that case from samples_done).
-        self._done = jnp.asarray(data["done"]) if "done" in data else None
+        if "done" in data:
+            want_done = self._work_ahead_shards() * (want_rows // 128)
+            if int(data["done"].shape[0]) != want_done:
+                raise ValueError(
+                    f"checkpoint done array has {data['done'].shape[0]} rows "
+                    f"but this renderer's mesh expects {want_done}; resume "
+                    "with the mesh that produced the checkpoint"
+                )
+            self._done = jnp.asarray(data["done"])
+            self._done_budget = (
+                int(data["done_budget"]) if "done_budget" in data else None
+            )
+        else:
+            self._done = None
+            self._done_budget = None
         self._samples_done = int(data["samples_done"])
         self._segments = int(data["segments"])
         self._tiles_counter = int(data["tiles_counter"])

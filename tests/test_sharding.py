@@ -186,6 +186,181 @@ def test_pallas_sharded_matches_unsharded(sample_axis):
     )
 
 
+@pytest.mark.parametrize("sample_axis", [2, 4])
+def test_pallas_sharded_work_ahead_waves_exact(sample_axis):
+    """Sharded work-ahead regen: each spp shard owns a contiguous slice of
+    the FULL budget and carries its own done counts across waves. Any wave
+    decomposition must trace the identical sample set -- segment totals
+    integer-EQUAL vs (a) the unsharded single kernel and (b) the sharded
+    self-contained-wave path -- with radiance equal to f32 summation-order
+    roundoff."""
+    from raytracing_tpu.ops.pallas import trace as ptrace
+    from raytracing_tpu.runtime import tiling as rtiling
+
+    scene = _all_metal_scene()
+    params = _params(image_width=64, samples_per_pixel=4, max_depth=4)
+    cam = rcamera.derive(params)
+    slots = rtiling.num_slots(cam.image_width, cam.image_height)
+    mesh = rmesh.make_mesh(jax.devices(), sample_axis=sample_axis)
+    n_px, n_sp = mesh.shape["px"], mesh.shape["spp"]
+    quantum = 1024 * n_px
+    slots_padded = -(-slots // quantum) * quantum
+    spp, depth = 4, 4
+
+    rad_1, seg_1 = ptrace._render_pixels_fused(
+        scene,
+        cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v, cam.center,
+        cam.defocus_disk_u, cam.defocus_disk_v, cam.defocus_angle,
+        jnp.int32(rtiling.tiles_per_row(cam.image_width)),
+        jnp.int32(0), jnp.int32(3), jnp.int32(0),
+        slots_padded, jnp.int32(spp), jnp.int32(depth),
+        pixel_order="tiled", interpret=True,
+    )
+    rad_n, seg_n = rshard.render_pixels_fused_sharded(
+        scene, cam,
+        jnp.int32(0), jnp.int32(3), jnp.int32(0),
+        jnp.int32(spp), jnp.int32(depth),
+        slots_padded, mesh, pixel_order="tiled", interpret=True,
+    )
+
+    done = jnp.zeros((n_sp * slots_padded // 128, 128), jnp.int32)
+    acc = jnp.zeros((slots_padded, 3), jnp.float32)
+    segs = 0
+    for t in (1, 3, spp):  # uneven wave targets on purpose
+        rad, seg, done = rshard.render_pixels_fused_sharded(
+            scene, cam,
+            jnp.int32(0), jnp.int32(3), jnp.int32(0),
+            jnp.int32(spp), jnp.int32(depth),
+            slots_padded, mesh, pixel_order="tiled", interpret=True,
+            done=done, t_end=jnp.int32(t),
+        )
+        acc = acc + rad
+        segs += int(seg)
+    d = np.asarray(done).reshape(n_sp, -1, 128)
+    for s in range(n_sp):  # every shard drained to its own budget share
+        lo, hi = (spp * s) // n_sp, (spp * (s + 1)) // n_sp
+        assert (d[s] == hi - lo).all()
+    assert int(seg_1) == int(seg_n) == segs
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(rad_1), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(rad_n), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_renderer_mesh_work_ahead_matches_unsharded():
+    """End-to-end Renderer on a (px, spp) mesh with multi-wave work-ahead
+    regen: identical sample set as the unsharded renderer (integer-equal
+    segments), image within one u8 code (psum/wave regrouping is
+    last-ulp), and the feature actually engages (some lane traces past a
+    wave's cumulative target)."""
+    scene = _all_metal_scene()
+    # 64x64 -> 4096 slots == the px-axis quantum exactly: no padding slots,
+    # so segment totals are comparable against the UNSHARDED renderer
+    # (padded spill slots trace real segments and would differ).
+    p = _params(aspect_ratio=1.0, image_width=64, samples_per_pixel=8,
+                max_depth=4)
+    mesh = rmesh.make_mesh(jax.devices(), sample_axis=2)
+    # max_rays_per_batch=128 with an observer plans chunk_spp=2 -> four
+    # deterministic waves (spp=8 skips the adaptive probe).
+    r = Renderer(
+        scene, p, seed=5, backend="pallas", mesh=mesh, max_rays_per_batch=128
+    )
+    engaged = []
+
+    def spy(prog):
+        if prog.samples_done < prog.samples_total:
+            tot = np.asarray(r._per_slot_done(r._done)).ravel()
+            engaged.append((tot > prog.samples_done).any())
+            # No slot may fall below the cumulative target.
+            assert tot.min() >= prog.samples_done
+
+    img_mesh = r.render(on_progress=spy)
+    assert engaged and any(engaged)
+    assert np.asarray(r._per_slot_done(r._done)).min() == 8
+
+    r1 = Renderer(scene, p, seed=5, backend="pallas")
+    img_1 = r1.render()
+    assert r.segments_traced == r1.segments_traced
+    assert int(np.abs(img_mesh.astype(int) - img_1.astype(int)).max()) <= 1
+
+    # And vs the sharded self-contained-wave path (RT_WORK_AHEAD=0).
+    import os
+
+    os.environ["RT_WORK_AHEAD"] = "0"
+    try:
+        r0 = Renderer(
+            scene, p, seed=5, backend="pallas", mesh=mesh,
+            max_rays_per_batch=128,
+        )
+        img_0 = r0.render()
+    finally:
+        del os.environ["RT_WORK_AHEAD"]
+    assert r0.segments_traced == r.segments_traced
+    assert int(np.abs(img_mesh.astype(int) - img_0.astype(int)).max()) <= 1
+
+
+def test_renderer_mesh_work_ahead_checkpoint_resume(tmp_path):
+    """A sharded work-ahead checkpoint carries the per-shard done blocks
+    (+ the budget that laid them out); resuming reproduces the
+    uninterrupted render exactly."""
+    scene = _all_metal_scene()
+    p = _params(image_width=64, samples_per_pixel=8, max_depth=4)
+    mesh = rmesh.make_mesh(jax.devices(), sample_axis=2)
+    path = str(tmp_path / "ckpt.npz")
+    r = Renderer(
+        scene, p, seed=9, backend="pallas", mesh=mesh, max_rays_per_batch=128
+    )
+    saved = []
+
+    def save_once(prog):
+        if not saved and prog.samples_done < prog.samples_total:
+            r.save_checkpoint(path)
+            saved.append(prog.samples_done)
+
+    img_full = r.render(on_progress=save_once)
+    assert saved and saved[0] < 8
+
+    r2 = Renderer(
+        scene, p, seed=9, backend="pallas", mesh=mesh, max_rays_per_batch=128
+    )
+    assert r2.load_checkpoint(path) == saved[0]
+    assert r2._done is not None and r2._done_budget == 8
+    img_resumed = r2.render(resume=True)
+    np.testing.assert_array_equal(img_resumed, img_full)
+    assert r2.segments_traced == r.segments_traced
+
+    # A ragged mid-work-ahead sharded state cannot be re-split toward a
+    # different budget -- must refuse rather than silently misdraw.
+    r3 = Renderer(
+        scene, p, seed=9, backend="pallas", mesh=mesh, max_rays_per_batch=128
+    )
+    r3.load_checkpoint(path)
+    if not np.array_equal(
+        np.asarray(r3._done),
+        r3._prefix_done_np(np.asarray(r3._done).shape[0] // 2, saved[0], 8),
+    ):
+        with pytest.raises(ValueError, match="different spp"):
+            r3.render(spp=16, resume=True)
+
+
+def test_renderer_mesh_work_ahead_resume_larger_budget_from_boundary():
+    """A COMPLETED sharded work-ahead render is a sample-prefix in any
+    split; resuming it toward a larger spp re-splits the done blocks and
+    continues exactly (same sample set as one uninterrupted render)."""
+    scene = _all_metal_scene()
+    p = _params(image_width=64, samples_per_pixel=4, max_depth=4)
+    mesh = rmesh.make_mesh(jax.devices(), sample_axis=2)
+    r = Renderer(scene, p, seed=3, backend="pallas", mesh=mesh)
+    r.render(spp=4)
+    img_grown = r.render(spp=8, resume=True)
+    r1 = Renderer(scene, p, seed=3, backend="pallas", mesh=mesh)
+    img_once = r1.render(spp=8)
+    assert r.segments_traced == r1.segments_traced
+    assert int(np.abs(img_grown.astype(int) - img_once.astype(int)).max()) <= 1
+
+
 def test_renderer_pallas_backend_with_mesh_runs():
     """End-to-end Renderer with backend='pallas' + mesh on the CPU platform
     (kernels in interpret mode)."""
