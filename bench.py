@@ -76,6 +76,8 @@ def main() -> None:
         help="'cover' (488-sphere reference scene), 'textured' "
         "(BASELINE config 3: checker + image textures, defocus camera), "
         "'mesh[:S]' (BASELINE config 4: icosphere mesh, 20*4^S triangles), "
+        "'meshes[:K]' (K separated icosphere instances with occluding "
+        "spheres -- exercises whole-object cull/hint skips), "
         "or 'stress:<N>' (procedural N-sphere grid, scaling "
         "characterization)",
     )
@@ -123,6 +125,16 @@ def main() -> None:
         )
     elif args.scene == "textured":
         cam0, scene = rt.make_world_textured(image_width=args.width)
+        params = dataclasses.replace(
+            cam0,
+            aspect_ratio=16.0 / 9.0,
+            image_width=args.width,
+            samples_per_pixel=args.spp,
+            max_depth=args.depth,
+        )
+    elif args.scene.startswith("meshes"):
+        k = int(args.scene.split(":", 1)[1]) if ":" in args.scene else 4
+        cam0, scene = rt.make_world_meshes(k, image_width=args.width)
         params = dataclasses.replace(
             cam0,
             aspect_ratio=16.0 / 9.0,
@@ -207,6 +219,8 @@ def main() -> None:
         metric = "stress_scene_throughput"
     elif args.scene == "textured":
         metric = "textured_scene_throughput"
+    elif args.scene.startswith("meshes"):
+        metric = "meshes_scene_throughput"
     elif args.scene.startswith("mesh"):
         metric = "mesh_scene_throughput"
     else:

@@ -51,6 +51,7 @@ from .scene.config import (
     load_world,
     make_world_basic,
     make_world_mesh,
+    make_world_meshes,
     make_world_stress,
     make_world_textured,
 )
@@ -69,6 +70,7 @@ __all__ = [
     "load_world",
     "make_world_basic",
     "make_world_mesh",
+    "make_world_meshes",
     "make_world_stress",
     "make_world_textured",
     "MaterialKind",

@@ -521,6 +521,69 @@ def make_world_mesh(
     return camera, builder.build()
 
 
+def make_world_meshes(
+    k: int = 4,
+    *,
+    image_width: int = 1200,
+    subdivisions: int = 2,
+) -> tuple[CameraParameters, Scene]:
+    """Multi-object mesh scene: ``k`` separated icosphere instances
+    (20 * 4^subdivisions triangles each) interleaved with OCCLUDING
+    spheres in front of half of them.
+
+    This is the workload the per-block triangle cull + cross-primitive
+    cull seeding (RT_CULL / RT_CULL_HINT) were built for: single-icosphere
+    benches (``mesh:S``) have nothing to skip on open rays -- here, rays
+    that hit an occluder sphere strictly closer stop voting that mesh's
+    Morton blocks open, so whole objects drop out of the triangle sweep.
+    Exact-closest-hit parity over multiple objects matches the reference's
+    linear collection scan (``/root/reference/src/ray.tracer.object.defs.cc:
+    68-81``) -- capability, not architecture.
+    """
+    from . import mesh as _mesh
+    from .types import MaterialKind
+
+    builder = SceneBuilder()
+    builder.add_checker_sphere(
+        (0.0, -1000.0, 0.0), 1000.0, 0.8, (0.35, 0.35, 0.35), (0.15, 0.15, 0.2)
+    )
+    verts, faces = _mesh.make_icosphere(subdivisions)
+    palette = [
+        ((0.75, 0.55, 0.25), MaterialKind.METALLIC, 0.08),
+        ((0.3, 0.55, 0.8), MaterialKind.LAMBERTIAN, 0.0),
+        ((0.8, 0.3, 0.3), MaterialKind.METALLIC, 0.2),
+        ((0.5, 0.8, 0.4), MaterialKind.LAMBERTIAN, 0.0),
+    ]
+    span = 2.6
+    for i in range(k):
+        x = (i - (k - 1) / 2.0) * span
+        albedo, kind, fuzz = palette[i % len(palette)]
+        builder.add_mesh(
+            verts + np.float32([x, 1.0, 0.0]), faces,
+            albedo=albedo, kind=kind, fuzz=fuzz,
+        )
+        if i % 2 == 0:
+            # Occluder: a sphere on the camera->mesh line, strictly closer,
+            # big enough to shadow most of that instance's primary rays.
+            builder.add_metallic_sphere(
+                (x * 0.72, 0.85, 2.1), 0.85, (0.7, 0.65, 0.6), 0.05
+            )
+    builder.add_dielectric_sphere(((k / 2.0) * span - 0.4, 0.7, 3.2), 0.7, 1.5)
+    camera = CameraParameters(
+        aspect_ratio=16.0 / 9.0,
+        image_width=image_width,
+        samples_per_pixel=64,
+        max_depth=16,
+        vertical_fov=30.0,
+        defocus_angle=0.0,
+        focus_distance=9.0,
+        lookfrom=(0.0, 2.6, 9.0),
+        lookat=(0.0, 0.9, 0.0),
+        world_up=(0.0, 1.0, 0.0),
+    )
+    return camera, builder.build()
+
+
 def load_and_build(
     path: str | pathlib.Path,
     *,

@@ -698,3 +698,54 @@ def test_pallas_mesh_cull_hint_occluder_bit_transparent(monkeypatch, hint):
         jax.clear_caches()
     assert seg_cull == seg_ref
     assert np.array_equal(rad_cull, rad_ref)
+
+
+def test_make_world_meshes_scene_shape():
+    """Multi-object mesh scene (bench `meshes:K`): K icosphere instances +
+    occluders; exact triangle/sphere counts and every mesh AABB disjoint
+    (separated instances => separable cull blocks)."""
+    cam, scene = rt.make_world_meshes(4, image_width=64, subdivisions=1)
+    assert scene.has_triangles
+    assert scene.num_triangles == 4 * 80  # 20 * 4^1 per instance
+    # ground + 2 occluders (i = 0, 2) + 1 dielectric = 4 spheres
+    assert scene.num_objects == 4
+    v = np.asarray(scene.tri_v0)
+    xs = sorted(
+        float(v[i * 80 : (i + 1) * 80, 0].mean()) for i in range(4)
+    )
+    gaps = np.diff(xs)
+    assert (gaps > 2.0).all()  # instances are separated along x
+
+
+@pytest.mark.parametrize("knob", ["cull", "hint"])
+def test_world_meshes_cull_bit_transparent(monkeypatch, knob):
+    """The meshes:K workload the round-3 cull machinery was built for
+    (occluders in front of whole instances): per-block triangle cull and
+    cross-primitive hint seeding must stay byte-transparent on it."""
+    import jax
+
+    _, scene = rt.make_world_meshes(4, image_width=64, subdivisions=2)
+    rng = np.random.default_rng(17)
+    # Camera-shaped primaries: from the scene's lookfrom toward the
+    # instance row (mixing occluded and open lanes in every tile), plus a
+    # jittered spread so bounce-like divergent rays occur by depth 2.
+    o = np.tile(np.float32([0.0, 2.6, 9.0]), (2048, 1))
+    targets = np.float32(rng.uniform([-5.5, 0.0, -1.0], [5.5, 2.2, 3.5],
+                                     size=(2048, 3)))
+    d = targets - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    if knob == "hint":
+        monkeypatch.setenv("RT_CULL_HINT", "1")
+    jax.clear_caches()
+    try:
+        rad_on, seg_on = _run_fused_rays(scene, o, d, 3)
+        monkeypatch.setenv("RT_CULL", "0")
+        monkeypatch.setenv("RT_CULL_HINT", "0")
+        jax.clear_caches()
+        rad_off, seg_off = _run_fused_rays(scene, o, d, 3)
+    finally:
+        jax.clear_caches()
+    assert seg_on == seg_off
+    assert np.array_equal(rad_on, rad_off)
