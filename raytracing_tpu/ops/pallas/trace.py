@@ -961,15 +961,36 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
     # t_sub ray groups (Mosaic does not CSE per-group re-loads; see the
     # two-level stage-1 note -- same restructure, measured +68% on
     # stress scenes there).
+    fused_load = _knob("RT_SWEEP_LOAD", "split")
+    if fused_load not in ("split", "fused"):
+        raise ValueError(
+            f"RT_SWEEP_LOAD={fused_load!r} must be 'split' or 'fused'"
+        )
+    fused_load = fused_load == "fused"
+
     def blk_body(b, kmins):
         base = pl.multiple_of(b * blk, blk)
-        cx = geh_ref[pl.ds(base, blk), 0:1]
-        cy = geh_ref[pl.ds(base, blk), 1:2]
-        cz = geh_ref[pl.ds(base, blk), 2:3]
-        m2cx = gec_ref[pl.ds(base, blk), 0:1]
-        m2cy = gec_ref[pl.ds(base, blk), 1:2]
-        m2cz = gec_ref[pl.ds(base, blk), 2:3]
-        cm2 = gec_ref[pl.ds(base, blk), 3:4]
+        if fused_load:
+            # Op-mix probe (round 4): 2 wide loads + lane slices instead of
+            # 7 single-column loads (each dynamic-base column load pays a
+            # (n,1) -> lane-replicated relayout). Bit-identical values.
+            gh = geh_ref[pl.ds(base, blk), 0:3]
+            gc = gec_ref[pl.ds(base, blk), 0:4]
+            cx, cy, cz = gh[:, 0:1], gh[:, 1:2], gh[:, 2:3]
+            m2cx, m2cy, m2cz = gc[:, 0:1], gc[:, 1:2], gc[:, 2:3]
+            cm2 = gc[:, 3:4]
+        else:
+            cx = geh_ref[pl.ds(base, blk), 0:1]
+            cy = geh_ref[pl.ds(base, blk), 1:2]
+            cz = geh_ref[pl.ds(base, blk), 2:3]
+            m2cx = gec_ref[pl.ds(base, blk), 0:1]
+            m2cy = gec_ref[pl.ds(base, blk), 1:2]
+            m2cz = gec_ref[pl.ds(base, blk), 2:3]
+            cm2 = gec_ref[pl.ds(base, blk), 3:4]
+        # Group-loop-invariant id column: computed ONCE per block (Mosaic
+        # is not relied on to CSE the per-group copies -- same class as
+        # the load lesson above, round-4 op-mix probe, bit-identical).
+        ids = blk_ids + base
         out = []
         for g in range(t_sub):
             sl = slice(g, g + 1)
@@ -1006,10 +1027,7 @@ def _sweep(geh_ref, gec_ref, rows, *, n_pad, t_sub, cull=None):
             n2 = h + sq
             nroot = jnp.where(n1 > ta[sl], n1, n2)
             key = jnp.where(nroot > ta[sl], nroot, _BIGF)
-            ki = (
-                (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
-                | (blk_ids + base)
-            )
+            ki = (pltpu.bitcast(key, jnp.int32) & ~pack_mask) | ids
             out.append(
                 jnp.minimum(kmins[g], jnp.min(ki, axis=0, keepdims=True))
             )
@@ -1684,14 +1702,12 @@ def _tri_sweep(tri_ref, rows, *, m_pad, t_sub, cull=None, hint=None):
             j: tri_ref[pl.ds(base, blk), j : j + 1]
             for j in _tri_key_cols()
         }
+        ids = blk_ids + base  # group-loop-invariant (see _sweep)
         out = []
         for g in range(t_sub):
             sl = slice(g, g + 1)
             key = _tri_key_rows(lambda j: cols[j], rows, sl)
-            ki = (
-                (pltpu.bitcast(key, jnp.int32) & ~pack_mask)
-                | (blk_ids + base)
-            )
+            ki = (pltpu.bitcast(key, jnp.int32) & ~pack_mask) | ids
             out.append(
                 jnp.minimum(kmins[g], jnp.min(ki, axis=0, keepdims=True))
             )
