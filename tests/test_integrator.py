@@ -5,6 +5,7 @@ golden test against a literal numpy port of the reference algorithm."""
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
+import pytest
 
 from raytracing_tpu.core import rng as rrng
 from raytracing_tpu.models import integrator
@@ -161,6 +162,7 @@ def _numpy_reference_trace(scene_np, o, d, depth, rng):
     return np.zeros(3)
 
 
+@pytest.mark.slow
 def test_distributional_parity_with_reference_port():
     """Mean radiance from the wavefront integrator matches a direct numpy port
     of the reference recursion within Monte-Carlo error (RNGs differ, so the

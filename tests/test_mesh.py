@@ -321,6 +321,7 @@ def _metal_mesh_scene():
     return b.build()
 
 
+@pytest.mark.slow
 def test_pallas_mesh_deterministic_parity():
     scene = _metal_mesh_scene()
     n = 1024
@@ -337,6 +338,7 @@ def test_pallas_mesh_deterministic_parity():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
 
 
+@pytest.mark.slow
 def test_pallas_mesh_two_level_parity():
     """>512 triangles (m_pad 2048) exercises the kernel's two-level
     triangle path (stage-1 window prefilter + collapsed-window exact
@@ -364,6 +366,7 @@ def test_pallas_mesh_two_level_parity():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 3e-3
 
 
+@pytest.mark.slow
 def test_pallas_mesh_two_level_radix_parity(monkeypatch):
     """RT_TWO_LEVEL_MXU=0 forces the two-level triangle path's radix/fori
     collapse fallback. m_pad = 2048 with the 256-row triangle stage-1
@@ -404,6 +407,7 @@ def test_pallas_mesh_two_level_radix_parity(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_pallas_mesh_triple_form_parity(monkeypatch):
     """RT_TRI_FORM=triple (the packed-n' triple-product candidate key --
     measured-rejected probe variant, ops/pallas/trace._tri_form) must
@@ -456,6 +460,7 @@ def test_pallas_mesh_triple_form_parity(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_pallas_mesh_flat_mxu_matches_radix_bitexact(monkeypatch):
     """The flat (<= _SWEEP_ROWS) triangle winner fetch on the MXU
     (_tri_winner mxu_ref, round 3) must reproduce the VPU radix gather's
@@ -479,6 +484,7 @@ def test_pallas_mesh_flat_mxu_matches_radix_bitexact(monkeypatch):
     assert np.array_equal(rad_mxu, rad_radix)
 
 
+@pytest.mark.slow
 def test_pallas_mesh_only_scene():
     """Triangles with ZERO spheres through the kernel."""
     verts, faces = rmesh.make_icosphere(1)
@@ -504,6 +510,7 @@ def test_pallas_mesh_only_scene():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 2e-2
 
 
+@pytest.mark.slow
 def test_renderer_mesh_pallas_vs_xla_image():
     scene = _metal_mesh_scene()
     params = rt.CameraParameters(
@@ -518,6 +525,7 @@ def test_renderer_mesh_pallas_vs_xla_image():
     assert np.abs(bx - bp).max() < 28.0, np.abs(bx - bp).max()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sphere", "box"])
 def test_pallas_mesh_cull_bit_transparent_dynamic_range(monkeypatch, kind):
     """Triangle cull bit-transparency in the HOSTILE regime: 600 small
@@ -610,6 +618,7 @@ def test_pallas_mesh_cull_bit_transparent_dynamic_range(monkeypatch, kind):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
     """Triangle analog of test_sphere_cull_bit_transparent: the per-block
@@ -647,6 +656,7 @@ def test_pallas_mesh_cull_bit_transparent(monkeypatch, kind):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hint", ["1", "0"])
 def test_pallas_mesh_cull_hint_occluder_bit_transparent(monkeypatch, hint):
     """Cross-primitive cull seeding (RT_CULL_HINT) in its MAXIMAL regime:
@@ -717,6 +727,7 @@ def test_make_world_meshes_scene_shape():
     assert (gaps > 2.0).all()  # instances are separated along x
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("knob", ["cull", "hint"])
 def test_world_meshes_cull_bit_transparent(monkeypatch, knob):
     """The meshes:K workload the round-3 cull machinery was built for

@@ -95,6 +95,7 @@ def test_scene_larger_than_one_sphere_block():
     np.testing.assert_allclose(rad_p, np.asarray(rad_x), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("two_level", [False, True])
 def test_scene_larger_than_sweep_window(monkeypatch, two_level):
     """> 512 spheres (n_pad 1024) exercises the multi-block sweep + cull;
@@ -140,6 +141,7 @@ def test_scene_larger_than_sweep_window(monkeypatch, two_level):
 # hardware because the TPU core PRNG has no interpret emulation).
 
 
+@pytest.mark.slow
 def test_distributional_parity_full_materials():
     """All three materials: per-direction mean radiance matches the XLA
     integrator within MC error (independent RNG streams)."""
@@ -427,6 +429,7 @@ def test_mxu_gather_matches_radix_bitexact():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 @pytest.mark.parametrize("two_level", [False, True])
 def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
@@ -469,6 +472,7 @@ def test_sphere_cull_bit_transparent(monkeypatch, two_level, kind):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 @pytest.mark.parametrize("two_level", [False, True])
 def test_sphere_cull_bit_transparent_dynamic_range(
@@ -550,6 +554,7 @@ def test_sphere_cull_bit_transparent_dynamic_range(
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
     """Cull bit-transparency for EXACTLY-axis-parallel rays whose origin
@@ -618,6 +623,7 @@ def test_cull_bit_transparent_axis_parallel(monkeypatch, kind):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.slow
 def test_cull_box_overflow_fail_closed(monkeypatch):
     """Box-gate bit-transparency when slab products OVERFLOW f32: at
     |coord| ~ 1e9, an exactly-axis-parallel lane's coord * clamped-1e30
@@ -666,6 +672,7 @@ def test_cull_box_overflow_fail_closed(monkeypatch):
     assert np.array_equal(rad_cull, rad_ref)
 
 
+@pytest.mark.slow
 def test_flat_blk_knob_invariance(monkeypatch):
     """RT_FLAT_BLK (trace-time flat-sweep block size, the shippable lever
     of the cover block-size A/B) must not change the image: a 300-sphere
@@ -699,6 +706,7 @@ def test_flat_blk_knob_invariance(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_sweep_fma_matches_oracle(monkeypatch):
     """RT_SWEEP_FMA=1 (fma-chain flat sweep, hardware A/B candidate) is
     NOT bit-identical to the default -- the association changes last-ulp

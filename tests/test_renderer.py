@@ -6,6 +6,7 @@ the image is bitwise identical for ANY work decomposition because the RNG is
 keyed by global ray id."""
 
 import numpy as np
+import pytest
 
 from raytracing_tpu import CameraParameters, Renderer, make_world_basic
 from raytracing_tpu.scene.types import SceneBuilder
@@ -135,6 +136,7 @@ def test_reseed_fresh_stream_keeps_wave_rate():
     assert (img7 != img0).any()
 
 
+@pytest.mark.slow
 def test_work_ahead_multi_wave_matches_single_wave():
     """Work-ahead regen: lanes that reach a wave's target keep tracing
     their own slot's samples toward the full budget instead of idling on

@@ -48,6 +48,7 @@ def _tiny_scene():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     scene = _tiny_scene()
     params = _tiny_params(spp=4)
@@ -244,6 +245,7 @@ def test_native_frame_pump(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_render_frame_matches_render():
     """The fused one-dispatch frame path produces the same image as a full
     render at equal spp (pallas backend, interpret mode on CPU; deterministic

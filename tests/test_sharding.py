@@ -89,6 +89,7 @@ def test_sharded_equals_single_device(sample_axis):
         assert int(seg) == int(ref_seg)
 
 
+@pytest.mark.slow
 def test_sharded_uneven_sample_chunk_masked_tail():
     """chunk=5 over spp axis of 4: devices trace ceil(5/4)=2 samples each,
     the 3 padding samples are masked -- radiance must still match exactly."""
@@ -108,6 +109,7 @@ def test_sharded_uneven_sample_chunk_masked_tail():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sample_axis", [1, 2])
 def test_full_renderer_with_mesh_bitwise(sample_axis):
     """End-to-end Renderer on a mesh == Renderer on one device, within one
@@ -122,6 +124,7 @@ def test_full_renderer_with_mesh_bitwise(sample_axis):
     assert (diff > 0).mean() < 0.01
 
 
+@pytest.mark.slow
 def test_renderer_mesh_with_pixel_padding():
     """Image with pixel count NOT divisible by the px axis (49 wide)."""
     scene = _scene()
@@ -145,6 +148,7 @@ def _all_metal_scene():
     return b.build()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sample_axis", [1, 2])
 def test_pallas_sharded_matches_unsharded(sample_axis):
     """Fused-kernel shard_map path == single-kernel path (both in
@@ -186,6 +190,7 @@ def test_pallas_sharded_matches_unsharded(sample_axis):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sample_axis", [2, 4])
 def test_pallas_sharded_work_ahead_waves_exact(sample_axis):
     """Sharded work-ahead regen: each spp shard owns a contiguous slice of
@@ -249,6 +254,7 @@ def test_pallas_sharded_work_ahead_waves_exact(sample_axis):
     )
 
 
+@pytest.mark.slow
 def test_renderer_mesh_work_ahead_matches_unsharded():
     """End-to-end Renderer on a (px, spp) mesh with multi-wave work-ahead
     regen: identical sample set as the unsharded renderer (integer-equal
@@ -301,6 +307,7 @@ def test_renderer_mesh_work_ahead_matches_unsharded():
     assert int(np.abs(img_mesh.astype(int) - img_0.astype(int)).max()) <= 1
 
 
+@pytest.mark.slow
 def test_renderer_mesh_work_ahead_checkpoint_resume(tmp_path):
     """A sharded work-ahead checkpoint carries the per-shard done blocks
     (+ the budget that laid them out); resuming reproduces the
@@ -345,6 +352,7 @@ def test_renderer_mesh_work_ahead_checkpoint_resume(tmp_path):
             r3.render(spp=16, resume=True)
 
 
+@pytest.mark.slow
 def test_renderer_mesh_work_ahead_resume_larger_budget_from_boundary():
     """A COMPLETED sharded work-ahead render is a sample-prefix in any
     split; resuming it toward a larger spp re-splits the done blocks and

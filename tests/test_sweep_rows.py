@@ -21,6 +21,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
@@ -77,6 +79,7 @@ def _render_hashes(sweep_rows: int) -> dict[str, tuple[str, str]]:
     return res
 
 
+@pytest.mark.slow
 def test_flat_sweep_block_size_invariance():
     """128/256/512-row sweep blocks and every cull kind render the
     identical image (cover-scale 512-row scene; 512 = the single-block

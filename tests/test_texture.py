@@ -164,6 +164,7 @@ def _run_fused_rays(scene, o, d, depth, seed=3):
     return np.asarray(rad), int(seg)
 
 
+@pytest.mark.slow
 def test_pallas_textured_deterministic_parity():
     """Deterministic textured scene: ALL metal with fuzz 0 (no RNG influence
     on any path -- textures on metal modulate the attenuation only), so the
@@ -210,6 +211,7 @@ def test_pallas_textured_deterministic_parity():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 5e-3
 
 
+@pytest.mark.slow
 def test_renderer_textured_pallas_vs_xla_image():
     """End-to-end textured render through both backends: same image within
     MC noise + quantization (u8 comparison, block means)."""
@@ -226,6 +228,7 @@ def test_renderer_textured_pallas_vs_xla_image():
     assert np.abs(bx - bp).max() < 28.0, np.abs(bx - bp).max()
 
 
+@pytest.mark.slow
 def test_kernel_texture_downsampling_path():
     """Textures beyond TEX_KERNEL_CAP are nearest-downsampled for the kernel
     (documented approximation): the render must still be finite and close to
