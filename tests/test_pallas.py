@@ -429,6 +429,36 @@ def test_mxu_gather_matches_radix_bitexact():
     )
 
 
+def test_sphere_cull_bit_transparent_smoke(monkeypatch):
+    """FAST-TIER representative of the cull bit-transparency family: the
+    shipped default gate (flat block-major sweep + box bound) on a 2-block
+    scene at depth 2. The full matrix (sphere/box/box-sub x flat/two-level
+    x hostile dynamic range x axis-parallel) is slow-marked below; this one
+    keeps the smoke tier from shipping a cull regression blind (ADVICE
+    round 4)."""
+    rng = np.random.default_rng(12)
+    b = SceneBuilder()
+    for _ in range(600):
+        b.add_metallic_sphere(rng.normal(size=3) * 8, rng.uniform(0.2, 0.6),
+                              (0.9, 0.9, 0.9), 0.0)
+    scene = b.build()
+    n = 1024
+    keys = _keys(n, seed=9)
+    d = rrng.unit_vector(keys)
+    o = jnp.zeros((n, 3), jnp.float32)
+    monkeypatch.setenv("RT_CULL", "box")
+    jax.clear_caches()
+    try:
+        rad_cull, seg_cull = _run_fused(scene, o, d, 2)
+        monkeypatch.setenv("RT_CULL", "0")
+        jax.clear_caches()
+        rad_ref, seg_ref = _run_fused(scene, o, d, 2)
+    finally:
+        jax.clear_caches()
+    assert seg_cull == seg_ref
+    assert np.array_equal(rad_cull, rad_ref)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("kind", ["sphere", "box", "box-sub"])
 @pytest.mark.parametrize("two_level", [False, True])
