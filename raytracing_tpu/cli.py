@@ -62,6 +62,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="with --interactive: stop after N frames (default: until quit)",
     )
     ap.add_argument(
+        "--converge-spp",
+        type=int,
+        help="with --interactive: samples/pixel the held camera converges "
+        "to while idle (default: max(64, --spp)); motion resets the "
+        "accumulation",
+    )
+    ap.add_argument(
         "--preview-dir",
         help="write preview_NNNN.png snapshots per progress event",
     )
@@ -137,7 +144,8 @@ def main(argv: list[str] | None = None) -> int:
         from .runtime.interactive import InteractiveSession
 
         session = InteractiveSession(
-            scene, cam, seed=args.seed, backend=args.backend
+            scene, cam, seed=args.seed, backend=args.backend,
+            converge_spp=args.converge_spp,
         )
         frames = session.run(max_frames=args.frames)
         log.info("interactive session: %d frames", frames)

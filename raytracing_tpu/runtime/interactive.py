@@ -80,13 +80,28 @@ class InteractiveSession:
         seed: int = 0,
         backend: str = "auto",
         spp: int | None = None,
+        converge_spp: int | None = None,
         stream=None,
     ) -> None:
         self.params = params
         self.renderer = Renderer(scene, params, seed=seed, backend=backend)
         self.spp = int(spp if spp is not None else params.samples_per_pixel)
+        # Converge-while-interactive (the reference's defining UX,
+        # main.cc:733-774): while the camera is idle, every frame
+        # accumulates ``spp`` MORE samples at the held pose -- the
+        # presented image is always the mean over every sample drawn there
+        # (byte-identical to a one-shot render at the accumulated spp) --
+        # until ``converge_spp`` is reached; camera motion resets the
+        # accumulation. The default target comfortably exceeds the
+        # reference's shipped 8 spp (world.config.json:5).
+        self.converge_spp = (
+            int(converge_spp) if converge_spp is not None
+            else max(64, self.spp)
+        )
         self.orbit = _orbit_from_params(params)
         self._orbit0 = dataclasses.replace(self.orbit)
+        self._last_pose: tuple | None = None
+        self._last_img: np.ndarray | None = None
         self.display = rdisplay.TerminalDisplay(stream=stream)
         self.frames_rendered = 0
         self.quit = False
@@ -139,21 +154,64 @@ class InteractiveSession:
         if action is not None:
             action()
 
+    @property
+    def samples_at_pose(self) -> int:
+        """Samples accumulated at the current camera pose."""
+        if self.renderer.backend == "pallas":
+            return self.renderer.frame_accum_samples
+        return self.renderer.samples_done
+
+    @property
+    def converged(self) -> bool:
+        return self.samples_at_pose >= self.converge_spp
+
     def step(self, keys: str = "") -> np.ndarray:
-        """Process pending keystrokes, render + present ONE frame."""
+        """Process pending keystrokes, render + present ONE frame.
+
+        Moving frames re-point the camera and restart the accumulation;
+        idle frames fold ``spp`` more samples into the held pose's running
+        mean (converge-while-interactive -- the presented image after k
+        idle frames is the byte-identical image of a one-shot render at
+        k*spp samples, tested). Once ``converge_spp`` is reached, idle
+        frames re-present the converged image without dispatching."""
         for k in keys:
             self.handle_key(k)
-        params = dataclasses.replace(
-            self.params, lookfrom=self.orbit.lookfrom(),
-            lookat=self.orbit.lookat,
+        pose = (
+            self.orbit.azimuth, self.orbit.elevation, self.orbit.distance,
+            self.orbit.lookat,
         )
-        self.renderer.params = params
-        self.renderer.camera = rcamera.derive(params)
-        if self.renderer.backend == "pallas":
-            dev = self.renderer.render_frame(spp=self.spp)
-            img = self.renderer.fetch_image(dev)
+        if pose != self._last_pose:
+            self._last_pose = pose
+            params = dataclasses.replace(
+                self.params, lookfrom=self.orbit.lookfrom(),
+                lookat=self.orbit.lookat,
+            )
+            self.renderer.params = params
+            self.renderer.camera = rcamera.derive(params)
+            if self.renderer.backend == "pallas":
+                self.renderer.frame_accum_reset()
+            else:
+                # The xla path accumulates through render(resume=True);
+                # reseed (same seed) drops the sums without recompiling.
+                self.renderer.reseed(self.renderer.seed)
+        remaining = self.converge_spp - self.samples_at_pose
+        if remaining > 0:
+            chunk = min(self.spp, remaining)
+            if self.renderer.backend == "pallas":
+                # Device-side preview fetch: tens of KB per frame at any
+                # frame size (a full-frame fetch is what caps large frames
+                # -- renderer._frame_preview_step).
+                _, prev, _ = self.renderer.render_frame_accum_preview(
+                    spp=chunk
+                )
+                img = np.asarray(prev)
+            else:
+                img = self.renderer.render(
+                    spp=self.samples_at_pose + chunk, resume=True
+                )
+            self._last_img = img
         else:
-            img = self.renderer.render(spp=self.spp)
+            img = self._last_img
         self.frames_rendered += 1
         self._present(img)
         return img
@@ -163,8 +221,8 @@ class InteractiveSession:
 
         self.display(
             RenderProgress(
-                samples_done=self.spp,
-                samples_total=self.spp,
+                samples_done=self.samples_at_pose,
+                samples_total=self.converge_spp,
                 pixels_count=self.renderer.pixels_count,
                 segments_traced=self.renderer.segments_traced,
                 elapsed_s=time.perf_counter() - self._t0,
@@ -172,6 +230,7 @@ class InteractiveSession:
             )
         )
         self.display.stream.write(
+            f"converge {self.samples_at_pose}/{self.converge_spp} spp  "
             "keys: a/d orbit  w/s elevate  +/- zoom  r reset  "
             "ESC/x quit\x1b[0K\n"
         )
@@ -207,6 +266,10 @@ class InteractiveSession:
                     keys.append(sys.stdin.read(1))
                 self.step("".join(keys))
                 frames += 1
+                if not keys and self.converged:
+                    # Fully converged and idle: nothing to trace -- block
+                    # briefly on input instead of spinning re-presents.
+                    select.select([sys.stdin], [], [], 0.05)
         except KeyboardInterrupt:
             pass  # Ctrl-C == quit (reference: ESC, main.cc:869-875)
         finally:

@@ -321,16 +321,31 @@ def _frame_preview_step(
         scene, cam, map_param, pallas_seed, sample_start, spp, max_depth,
         num_slots, pixel_order, interpret,
     )
+    return u8, _device_preview(u8, slot_ids, height, width, ph, pw), segments
+
+
+def _device_preview(
+    u8: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    height: int,
+    width: int,
+    ph: int,
+    pw: int,
+) -> jnp.ndarray:
+    """Slot->pixel reorder + (ph, pw) box downsample, all on device (traced
+    inside the frame steps). At factors of 1 (small frames) this is an
+    exact identity reorder.
+
+    Ceil box factors + edge padding so the preview covers the WHOLE
+    frame (floor factors + crop silently dropped the right/bottom edge
+    whenever the frame is not a multiple of the preview size -- at
+    800x470 with a 240x136 preview that cut 62 rows and 80 columns).
+    The caller shrinks (ph, pw) to ceil(h/fy) x ceil(w/fx) so at most
+    fy-1 / fx-1 replicated edge rows/cols enter the last preview cell."""
     num_pixels = height * width
     ids = jnp.minimum(slot_ids, num_pixels)  # padded slots -> spill row
     fb = jnp.zeros((num_pixels + 1, 3), jnp.uint8).at[ids].set(u8)
     img = fb[:-1].reshape(height, width, 3)
-    # Ceil box factors + edge padding so the preview covers the WHOLE
-    # frame (floor factors + crop silently dropped the right/bottom edge
-    # whenever the frame is not a multiple of the preview size -- at
-    # 800x470 with a 240x136 preview that cut 62 rows and 80 columns).
-    # The caller shrinks (ph, pw) to ceil(h/fy) x ceil(w/fx) so at most
-    # fy-1 / fx-1 replicated edge rows/cols enter the last preview cell.
     fy = -(-height // ph)
     fx = -(-width // pw)
     ch, cw = ph * fy, pw * fx
@@ -338,7 +353,109 @@ def _frame_preview_step(
         img, ((0, ch - height), (0, cw - width), (0, 0)), mode="edge"
     ).astype(jnp.float32)
     ds = padded.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
-    return u8, (ds + 0.5).astype(jnp.uint8), segments
+    return (ds + 0.5).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slots", "pixel_order", "fresh", "interpret"),
+)
+def _frame_accum_step(
+    frame_sum: jnp.ndarray,
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    map_param: jnp.ndarray,
+    pallas_seed: jnp.ndarray,
+    sample_start: jnp.ndarray,
+    spp: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    total: jnp.ndarray,
+    num_slots: int,
+    pixel_order: str,
+    fresh: bool,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Converge-while-interactive frame: trace ``spp`` fresh samples
+    starting at absolute sample ``sample_start``, fold them into the
+    per-pose radiance-sum buffer, and tonemap the accumulated mean -- one
+    fused dispatch, no sync. This is the capability the reference's live
+    window has (the render thread drains pixels into the displayed
+    framebuffer every frame while workers keep tracing,
+    ``/root/reference/src/main.cc:733-774``,
+    ``src/ray.tracer.image.display.cc:108-117``): an idle camera visibly
+    refines instead of re-presenting single-frame noise.
+
+    ``fresh`` (static) starts a new accumulation -- the stale buffer is
+    ignored, not re-zeroed, so a camera-motion reset costs nothing.
+    ``total`` is the absolute sample count AFTER this frame; the displayed
+    mean divides by it exactly the way ``render()`` normalizes (f32
+    reciprocal of an int32 count), so k accumulated frames present the
+    byte-identical image of a single ``render(spp=total)``.
+    Returns (frame_sum, u8 slots, segments)."""
+    from ..ops.pallas import trace as ptrace
+
+    rad_sum, segments = ptrace._render_pixels_fused(
+        scene,
+        cam.pixel00,
+        cam.pixel_delta_u,
+        cam.pixel_delta_v,
+        cam.center,
+        cam.defocus_disk_u,
+        cam.defocus_disk_v,
+        cam.defocus_angle,
+        map_param,
+        jnp.int32(0),
+        pallas_seed,
+        sample_start,
+        num_slots,
+        spp,
+        max_depth,
+        pixel_order=pixel_order,
+        interpret=interpret,
+    )
+    frame_sum = rad_sum if fresh else frame_sum + rad_sum
+    inv = 1.0 / jnp.maximum(total, 1).astype(jnp.float32)
+    return frame_sum, _slots_to_u8(frame_sum, inv), segments
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_slots", "pixel_order", "fresh", "height", "width", "ph", "pw",
+        "interpret",
+    ),
+)
+def _frame_accum_preview_step(
+    frame_sum: jnp.ndarray,
+    scene: Scene,
+    cam: rcamera.DerivedCamera,
+    map_param: jnp.ndarray,
+    pallas_seed: jnp.ndarray,
+    sample_start: jnp.ndarray,
+    spp: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    total: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    num_slots: int,
+    pixel_order: str,
+    fresh: bool,
+    height: int,
+    width: int,
+    ph: int,
+    pw: int,
+    interpret: bool = False,
+):
+    """``_frame_accum_step`` plus the device-side downsampled preview (the
+    per-frame fetch stays tens of KB -- see ``_frame_preview_step``).
+    Returns (frame_sum, u8 slots, u8 preview, segments)."""
+    frame_sum, u8, segments = _frame_accum_step(
+        frame_sum, scene, cam, map_param, pallas_seed, sample_start, spp,
+        max_depth, total, num_slots, pixel_order, fresh, interpret,
+    )
+    return (
+        frame_sum, u8, _device_preview(u8, slot_ids, height, width, ph, pw),
+        segments,
+    )
 
 
 def _to_u8(image_sum: jnp.ndarray, inv_samples: float, height: int, width: int) -> jnp.ndarray:
@@ -406,6 +523,10 @@ class Renderer:
         self._elapsed_base = 0.0
         self._tiles_counter = 0
         self._frame_sample_base = 0
+        # Converge-while-interactive state: per-pose radiance-sum buffer +
+        # absolute accumulated-sample count (render_frame_accum*).
+        self._frame_accum_sum: jnp.ndarray | None = None
+        self._frame_accum_count = 0
         self._image_sum: jnp.ndarray | None = None
         # Per-slot completed-sample counts (work-ahead regen; None until a
         # pallas render runs). Unsharded: one (rows, 128) block of absolute
@@ -470,6 +591,8 @@ class Renderer:
         self._elapsed_base = 0.0
         self._tiles_counter = 0
         self._frame_sample_base = 0
+        self._frame_accum_sum = None
+        self._frame_accum_count = 0
         self._done = None
         self._done_budget = None
 
@@ -1023,6 +1146,121 @@ class Renderer:
         )
         self._frame_finish(slots, spp, segments)
         return dev, prev
+
+    # -- converge-while-interactive (the reference's defining UX: the live
+    # window refines toward the full-spp render while idle, main.cc:733-774,
+    # ray.tracer.image.display.cc:108-117) --------------------------------
+    @property
+    def frame_accum_samples(self) -> int:
+        """Samples accumulated at the current camera pose."""
+        return self._frame_accum_count
+
+    def frame_accum_reset(self) -> None:
+        """Start a fresh accumulation (call when the camera moves). Costs
+        nothing on device: the next accum frame overwrites instead of
+        adding (static ``fresh`` branch)."""
+        self._frame_accum_count = 0
+
+    def render_frame_accum(
+        self, spp: int | None = None, max_depth: int | None = None
+    ):
+        """Accumulating interactive frame: trace ``spp`` FRESH samples
+        (absolute ids ``[count, count+spp)`` -- the identical sample set a
+        one-shot ``render(spp=count+spp)`` with this seed draws) and return
+        ``(dev_u8, total)`` where ``dev_u8`` is the accumulated-mean image
+        (slot order, no sync; pair with ``fetch_image``) and ``total`` the
+        per-pose sample count after this frame. Present it and the idle
+        camera visibly converges; call ``frame_accum_reset()`` on motion."""
+        spp, max_depth, cam = self._frame_setup(
+            spp, max_depth, "render_frame_accum"
+        )
+        slots = rtiling.num_slots(cam.image_width, cam.image_height)
+        fresh = self._frame_accum_count == 0
+        total = self._frame_accum_count + spp
+        self._frame_accum_sum, dev, segments = _frame_accum_step(
+            self._accum_buffer(slots, fresh),
+            self.scene,
+            cam,
+            jnp.int32(rtiling.tiles_per_row(cam.image_width)),
+            jnp.int32(self.seed & 0x7FFFFFFF),
+            jnp.int32(self._frame_accum_count),
+            jnp.int32(spp),
+            jnp.int32(max_depth),
+            jnp.int32(total),
+            slots,
+            "tiled",
+            fresh,
+            self._pallas_interpret,
+        )
+        self._frame_accum_count = total
+        self._accum_finish(slots, segments)
+        return dev, total
+
+    def render_frame_accum_preview(
+        self,
+        spp: int | None = None,
+        max_depth: int | None = None,
+        preview_cols: int = 240,
+        preview_rows: int = 136,
+    ):
+        """``render_frame_accum`` variant returning ``(dev_u8, dev_preview,
+        total)`` with the device-side downsampled preview (per-frame fetch
+        stays tens of KB at any frame size -- see
+        ``render_frame_preview``)."""
+        spp, max_depth, cam = self._frame_setup(
+            spp, max_depth, "render_frame_accum_preview"
+        )
+        slots = rtiling.num_slots(cam.image_width, cam.image_height)
+        h, w = cam.image_height, cam.image_width
+        ph = min(int(preview_rows), h)
+        pw = min(int(preview_cols), w)
+        fy = -(-h // ph)
+        fx = -(-w // pw)
+        fresh = self._frame_accum_count == 0
+        total = self._frame_accum_count + spp
+        self._frame_accum_sum, dev, prev, segments = (
+            _frame_accum_preview_step(
+                self._accum_buffer(slots, fresh),
+                self.scene,
+                cam,
+                jnp.int32(rtiling.tiles_per_row(cam.image_width)),
+                jnp.int32(self.seed & 0x7FFFFFFF),
+                jnp.int32(self._frame_accum_count),
+                jnp.int32(spp),
+                jnp.int32(max_depth),
+                jnp.int32(total),
+                self._frame_ids_dev,
+                slots,
+                "tiled",
+                fresh,
+                h,
+                w,
+                -(-h // fy),
+                -(-w // fx),
+                self._pallas_interpret,
+            )
+        )
+        self._frame_accum_count = total
+        self._accum_finish(slots, segments)
+        return dev, prev, total
+
+    def _accum_buffer(self, slots: int, fresh: bool) -> jnp.ndarray:
+        """The accumulation buffer to feed the fused step: a (1, 3) dummy
+        when ``fresh`` (its values are ignored under the static branch --
+        no zeroing dispatch), else the carried per-pose sums."""
+        if fresh:
+            return jnp.zeros((1, 3), jnp.float32)
+        assert self._frame_accum_sum is not None  # count > 0 implies a sum
+        if self._frame_accum_sum.shape[0] != slots:
+            raise ValueError(
+                "frame accumulation buffer does not match the current "
+                "resolution; call frame_accum_reset() after resizing"
+            )
+        return self._frame_accum_sum
+
+    def _accum_finish(self, slots: int, segments) -> None:
+        self._tiles_counter += slots // DEFAULT_TILE_RAYS
+        self._pending_segments.append(segments)
 
     def fetch_image(self, u8_dev) -> np.ndarray:
         """Device u8 array from ``render(as_device_array=True)`` -> host

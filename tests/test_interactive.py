@@ -73,6 +73,59 @@ def test_step_renders_and_camera_motion_changes_image():
     assert "Elapsed" in out and "keys:" in out
 
 
+def test_idle_frames_converge_byte_equal_to_oneshot():
+    """The reference's defining UX (main.cc:733-774): a paused camera
+    visibly refines. Contract: after k idle frames the PRESENTED image is
+    byte-equal to a one-shot render at the accumulated spp with the same
+    seed/pose."""
+    s = _session()  # spp=2 per frame
+    img = None
+    for _ in range(3):
+        img = s.step()
+    assert s.samples_at_pose == 6
+    oracle = rt.Renderer(
+        s.renderer.scene, s.renderer.params, seed=0, backend="pallas"
+    )
+    np.testing.assert_array_equal(img, oracle.render(spp=6))
+
+
+def test_motion_resets_accumulation():
+    s = _session()
+    s.step()
+    s.step()
+    assert s.samples_at_pose == 4
+    s.step("d")  # camera moved: accumulation restarts at this pose
+    assert s.samples_at_pose == 2
+    s.step()
+    assert s.samples_at_pose == 4
+
+
+def test_converged_idle_stops_dispatching():
+    s = _session()
+    s.converge_spp = 4
+    s.step()
+    img_conv = s.step()
+    assert s.converged
+    seg = s.renderer.segments_traced
+    img_again = s.step()  # idle + converged: re-present, no dispatch
+    assert s.renderer.segments_traced == seg
+    np.testing.assert_array_equal(img_conv, img_again)
+    s.step("d")  # motion un-converges
+    assert s.samples_at_pose == 2 and not s.converged
+
+
+def test_xla_backend_accumulates_idle_frames_too():
+    s = _session(backend="xla")
+    img = None
+    for _ in range(2):
+        img = s.step()
+    assert s.samples_at_pose == 4
+    oracle = rt.Renderer(
+        s.renderer.scene, s.renderer.params, seed=0, backend="xla"
+    )
+    np.testing.assert_array_equal(img, oracle.render(spp=4))
+
+
 def test_quit_key_ends_run():
     s = _session()
     s.handle_key("x")

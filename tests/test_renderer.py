@@ -59,6 +59,35 @@ def test_chunking_invariance_bitwise():
     np.testing.assert_array_equal(img_big, img_tiny)
 
 
+def test_frame_accum_matches_oneshot_render():
+    """Converge-while-interactive contract: k accumulated frames at a held
+    pose present the BYTE-identical image of a single render at the
+    accumulated spp (same seed -> same absolute sample ids), for any frame
+    chunking; frame_accum_reset() restarts the stream."""
+    scene = _small_scene()
+    p = _params(samples_per_pixel=4, max_depth=3)
+    oracle = Renderer(scene, p, seed=3, backend="pallas")
+    ref = oracle.render(spp=4)
+    r = Renderer(scene, p, seed=3, backend="pallas")
+    for chunks in [(4,), (1, 3), (2, 2), (1, 1, 1, 1)]:
+        r.frame_accum_reset()
+        for c in chunks:
+            dev, total = r.render_frame_accum(spp=c)
+        assert total == 4 == r.frame_accum_samples
+        np.testing.assert_array_equal(r.fetch_image(dev), ref)
+
+
+def test_frame_accum_preview_is_fullres_identity_at_small_frames():
+    """At frames <= the preview size the box factors are 1, so the
+    device-side preview must be the exact full-resolution image."""
+    scene = _small_scene()
+    p = _params(samples_per_pixel=2, max_depth=3)
+    r = Renderer(scene, p, seed=5, backend="pallas")
+    dev, prev, total = r.render_frame_accum_preview(spp=2)
+    assert total == 2
+    np.testing.assert_array_equal(np.asarray(prev), r.fetch_image(dev))
+
+
 def test_seed_changes_noise():
     scene = _small_scene()
     img1 = Renderer(scene, _params(), seed=1).render()
