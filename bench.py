@@ -20,8 +20,14 @@ reported (min wall over identical workloads estimates the uncontended rate;
 the run-to-run spread is included as ``spread`` for transparency).
 
 Usage: python bench.py [--spp N] [--depth N] [--width N] [--repeats N]
-                       [--scene cover|textured|mesh[:S]|stress:N]
+                       [--scene cover|textured|mesh[:S]|meshes[:K]|stress:N]
                        [--north-star]
+       python bench.py --matrix [--out BENCH_FULL.json]
+           runs the FULL BASELINE config matrix (cover@64, north star,
+           textured, mesh:3, meshes:4, stress:2048, stress:8192), one JSON
+           row per config, and writes the whole artifact to --out -- the
+           one-command round-over-round regression ledger (VERDICT r4
+           item 4).
 """
 
 from __future__ import annotations
@@ -40,6 +46,18 @@ import time
 # the best completed run (or exits nonzero if nothing completed).
 _WARMUP_DEADLINE_S = 2700.0   # fresh Mosaic compiles take up to ~25 min
 _FIRST_RUN_DEADLINE_S = 1800.0
+
+# The full-matrix rows: every BASELINE.md achieved-results config, so one
+# command refreshes the whole ledger (spread included per row).
+_MATRIX = [
+    {"scene": "cover", "spp": 64, "depth": 8},
+    {"scene": "cover", "spp": 1000, "depth": 50, "north_star": True},
+    {"scene": "textured", "spp": 64, "depth": 8},
+    {"scene": "mesh:3", "spp": 64, "depth": 8},
+    {"scene": "meshes:4", "spp": 64, "depth": 8},
+    {"scene": "stress:2048", "spp": 64, "depth": 8},
+    {"scene": "stress:8192", "spp": 64, "depth": 8},
+]
 
 
 def _run_with_deadline(fn, deadline_s):
@@ -65,6 +83,167 @@ def _run_with_deadline(fn, deadline_s):
     return True
 
 
+def _build(scene_name: str, width: int, spp: int, depth: int):
+    """(params, scene) for a named bench scene."""
+    import dataclasses
+
+    import raytracing_tpu as rt
+
+    if scene_name.startswith("stress:"):
+        n = int(scene_name.split(":", 1)[1])
+        cam0, scene = rt.make_world_stress(n, image_width=width)
+    elif scene_name == "textured":
+        cam0, scene = rt.make_world_textured(image_width=width)
+    elif scene_name.startswith("meshes"):
+        k = int(scene_name.split(":", 1)[1]) if ":" in scene_name else 4
+        cam0, scene = rt.make_world_meshes(k, image_width=width)
+    elif scene_name.startswith("mesh"):
+        sub = int(scene_name.split(":", 1)[1]) if ":" in scene_name else 3
+        cam0, scene = rt.make_world_mesh(image_width=width, subdivisions=sub)
+    else:
+        world = rt.load_world("data/config/world.config.json")
+        params = dataclasses.replace(
+            world.camera,
+            aspect_ratio=16.0 / 9.0,
+            image_width=width,
+            samples_per_pixel=spp,
+            max_depth=depth,
+        )
+        _, scene = rt.build_world(dataclasses.replace(world, camera=params))
+        return params, scene
+    params = dataclasses.replace(
+        cam0,
+        aspect_ratio=16.0 / 9.0,
+        image_width=width,
+        samples_per_pixel=spp,
+        max_depth=depth,
+    )
+    return params, scene
+
+
+def _measure(
+    scene_name: str,
+    width: int,
+    spp: int,
+    depth: int,
+    seed: int,
+    repeats: int,
+    warmup_spp: int = 1,
+    max_rays_per_batch: int | None = None,
+    north_star: bool = False,
+) -> dict | None:
+    """Best-of-N seed-varied warm measurement of one config; returns the
+    result row (None if nothing completed -- tunnel down)."""
+    import raytracing_tpu as rt
+
+    params, scene = _build(scene_name, width, spp, depth)
+    rkw = {}
+    if max_rays_per_batch is not None:
+        rkw["max_rays_per_batch"] = max_rays_per_batch
+    renderer = rt.Renderer(scene, params, seed=seed, **rkw)
+    # Warmup: compile every wave shape once.
+    if _run_with_deadline(
+        lambda: renderer.render(spp=warmup_spp), _WARMUP_DEADLINE_S
+    ) is None:
+        return None
+
+    # Best of N seed-varied warm runs (min wall == least tunnel contention;
+    # distinct seeds defeat the tunnel's identical-execution dedupe). Timed
+    # seeds are offset by +1 so rep 0 can never replay the warmup execution
+    # (same seed + same spp when spp == warmup_spp would dedupe into a
+    # near-instant, fraudulent best-of winner).
+    runs = []
+    hung = 0
+    for rep in range(max(repeats, 1)):
+        # ONE renderer across repeats: reseed() switches the RNG stream
+        # (defeating the tunnel's identical-execution dedupe) while
+        # keeping the measured wave rate, so repeats 1+ size their first
+        # wave from evidence instead of re-paying the 8-spp probe wave
+        # (straggler-tail-expensive; see Renderer._wave_rate).
+        renderer.reseed(seed + 1 + rep)
+        deadline = (
+            max(120.0, 10.0 * runs[0][1]) if runs else _FIRST_RUN_DEADLINE_S
+        )
+        t0 = time.perf_counter()
+        done = _run_with_deadline(
+            lambda r=renderer: r.render(spp=spp), deadline
+        )
+        if done is None:
+            # A stuck dispatch poisons the runtime for later repeats too --
+            # stop here and report whatever completed.
+            hung = max(repeats, 1) - rep
+            break
+        wall = time.perf_counter() - t0
+        runs.append((renderer.segments_traced / wall / 1.0e6, wall,
+                     renderer.segments_traced))
+    if not runs:
+        return None
+    mrays, wall, segments = max(runs)
+
+    target = 500.0  # Mrays/s/chip north star (BASELINE.json)
+    if north_star:
+        metric = "north_star_throughput"
+    elif scene_name.startswith("stress"):
+        metric = "stress_scene_throughput"
+    elif scene_name == "textured":
+        metric = "textured_scene_throughput"
+    elif scene_name.startswith("meshes"):
+        metric = "meshes_scene_throughput"
+    elif scene_name.startswith("mesh"):
+        metric = "mesh_scene_throughput"
+    else:
+        metric = "cover_scene_throughput"
+    return {
+        "metric": metric,
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / target, 4),
+        "wall_s": round(wall, 3),
+        "segments": segments,
+        "spread": [round(r[0], 1) for r in runs],
+        **({"hung_runs": hung} if hung else {}),
+        "scene": scene_name,
+        "config": (
+            f"{params.image_width}x{params.image_height}@{spp}"
+            f"spp depth{depth} {scene.num_objects} spheres"
+            + (
+                f" {scene.num_triangles} tris"
+                if scene.has_triangles
+                else ""
+            )
+        ),
+    }
+
+
+def _run_matrix(args) -> int:
+    rows = []
+    for cfg in _MATRIX:
+        ns = cfg.get("north_star", False)
+        row = _measure(
+            cfg["scene"], args.width, cfg["spp"], cfg["depth"],
+            seed=args.seed, repeats=args.repeats,
+            max_rays_per_batch=(1 << 24) if ns else args.max_rays_per_batch,
+            north_star=ns,
+        )
+        if row is None:
+            row = {
+                "metric": "hung", "scene": cfg["scene"],
+                "config": f"@{cfg['spp']}spp depth{cfg['depth']}",
+            }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    artifact = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "repeats": args.repeats,
+        "width": args.width,
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out} ({len(rows)} rows)", file=sys.stderr)
+    return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=64)
@@ -86,6 +265,15 @@ def main() -> None:
         help="measure the BASELINE.json north-star config verbatim: "
         "1920x1080 @ 1000 spp, depth 50 (overrides --spp/--depth/--width)",
     )
+    ap.add_argument(
+        "--matrix", action="store_true",
+        help="run the full BASELINE config matrix (one JSON row per "
+        "config) and write the artifact to --out",
+    )
+    ap.add_argument(
+        "--out", default="BENCH_FULL.json",
+        help="with --matrix: artifact path",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--repeats", type=int, default=5,
@@ -104,150 +292,27 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.matrix:
+        sys.exit(_run_matrix(args))
+
     if args.north_star:
         args.width, args.spp, args.depth = 1920, 1000, 50
         if args.max_rays_per_batch is None:
             args.max_rays_per_batch = 1 << 24
 
-    import dataclasses
-
-    import raytracing_tpu as rt
-
-    if args.scene.startswith("stress:"):
-        n = int(args.scene.split(":", 1)[1])
-        cam0, scene = rt.make_world_stress(n, image_width=args.width)
-        params = dataclasses.replace(
-            cam0,
-            aspect_ratio=16.0 / 9.0,
-            image_width=args.width,
-            samples_per_pixel=args.spp,
-            max_depth=args.depth,
-        )
-    elif args.scene == "textured":
-        cam0, scene = rt.make_world_textured(image_width=args.width)
-        params = dataclasses.replace(
-            cam0,
-            aspect_ratio=16.0 / 9.0,
-            image_width=args.width,
-            samples_per_pixel=args.spp,
-            max_depth=args.depth,
-        )
-    elif args.scene.startswith("meshes"):
-        k = int(args.scene.split(":", 1)[1]) if ":" in args.scene else 4
-        cam0, scene = rt.make_world_meshes(k, image_width=args.width)
-        params = dataclasses.replace(
-            cam0,
-            aspect_ratio=16.0 / 9.0,
-            image_width=args.width,
-            samples_per_pixel=args.spp,
-            max_depth=args.depth,
-        )
-    elif args.scene.startswith("mesh"):
-        sub = int(args.scene.split(":", 1)[1]) if ":" in args.scene else 3
-        cam0, scene = rt.make_world_mesh(
-            image_width=args.width, subdivisions=sub
-        )
-        params = dataclasses.replace(
-            cam0,
-            aspect_ratio=16.0 / 9.0,
-            image_width=args.width,
-            samples_per_pixel=args.spp,
-            max_depth=args.depth,
-        )
-    else:
-        world = rt.load_world("data/config/world.config.json")
-        params = dataclasses.replace(
-            world.camera,
-            aspect_ratio=16.0 / 9.0,
-            image_width=args.width,
-            samples_per_pixel=args.spp,
-            max_depth=args.depth,
-        )
-        _, scene = rt.build_world(dataclasses.replace(world, camera=params))
-
-    rkw = {}
-    if args.max_rays_per_batch is not None:
-        rkw["max_rays_per_batch"] = args.max_rays_per_batch
-    renderer = rt.Renderer(scene, params, seed=args.seed, **rkw)
-    # Warmup: compile every wave shape once.
-    if _run_with_deadline(
-        lambda: renderer.render(spp=args.warmup_spp), _WARMUP_DEADLINE_S
-    ) is None:
-        print("bench: warmup hung past deadline (tunnel down)",
-              file=sys.stderr)
-        os._exit(1)
-
-    # Best of N seed-varied warm runs (min wall == least tunnel contention;
-    # distinct seeds defeat the tunnel's identical-execution dedupe). Timed
-    # seeds are offset by +1 so rep 0 can never replay the warmup execution
-    # (same seed + same spp when --spp == --warmup-spp would dedupe into a
-    # near-instant, fraudulent best-of winner).
-    runs = []
-    hung = 0
-    for rep in range(max(args.repeats, 1)):
-        # ONE renderer across repeats: reseed() switches the RNG stream
-        # (defeating the tunnel's identical-execution dedupe) while
-        # keeping the measured wave rate, so repeats 1+ size their first
-        # wave from evidence instead of re-paying the 8-spp probe wave
-        # (straggler-tail-expensive; see Renderer._wave_rate).
-        renderer.reseed(args.seed + 1 + rep)
-        deadline = (
-            max(120.0, 10.0 * runs[0][1]) if runs else _FIRST_RUN_DEADLINE_S
-        )
-        t0 = time.perf_counter()
-        done = _run_with_deadline(
-            lambda r=renderer: r.render(spp=args.spp), deadline
-        )
-        if done is None:
-            # A stuck dispatch poisons the runtime for later repeats too --
-            # stop here and report whatever completed.
-            hung = max(args.repeats, 1) - rep
-            break
-        wall = time.perf_counter() - t0
-        runs.append((renderer.segments_traced / wall / 1.0e6, wall,
-                     renderer.segments_traced))
-    if not runs:
-        print("bench: every timed run hung past deadline (tunnel down)",
-              file=sys.stderr)
-        os._exit(1)
-    mrays, wall, segments = max(runs)
-
-    target = 500.0  # Mrays/s/chip north star (BASELINE.json)
-    if args.north_star:
-        metric = "north_star_throughput"
-    elif args.scene.startswith("stress"):
-        metric = "stress_scene_throughput"
-    elif args.scene == "textured":
-        metric = "textured_scene_throughput"
-    elif args.scene.startswith("meshes"):
-        metric = "meshes_scene_throughput"
-    elif args.scene.startswith("mesh"):
-        metric = "mesh_scene_throughput"
-    else:
-        metric = "cover_scene_throughput"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(mrays, 3),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / target, 4),
-                "wall_s": round(wall, 3),
-                "segments": segments,
-                "spread": [round(r[0], 1) for r in runs],
-                **({"hung_runs": hung} if hung else {}),
-                "config": (
-                    f"{params.image_width}x{params.image_height}@{args.spp}"
-                    f"spp depth{args.depth} {scene.num_objects} spheres"
-                    + (
-                        f" {scene.num_triangles} tris"
-                        if scene.has_triangles
-                        else ""
-                    )
-                ),
-            }
-        )
+    row = _measure(
+        args.scene, args.width, args.spp, args.depth,
+        seed=args.seed, repeats=args.repeats, warmup_spp=args.warmup_spp,
+        max_rays_per_batch=args.max_rays_per_batch,
+        north_star=args.north_star,
     )
+    if row is None:
+        print("bench: every run hung past deadline (tunnel down)",
+              file=sys.stderr)
+        os._exit(1)
+    hung = row.get("hung_runs", 0)
+    row.pop("scene", None)
+    print(json.dumps(row))
     if hung:
         # A worker is still stuck inside the runtime; skip normal teardown
         # (its atexit hooks can block on the wedged dispatch).
