@@ -69,6 +69,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "accumulation",
     )
     ap.add_argument(
+        "--pipeline",
+        type=int,
+        default=2,
+        help="with --interactive: preview fetches in flight (presentation "
+        "lags this many frames; 0 = synchronous). Overlapping the fetch "
+        "with the next dispatch roughly doubles fps on the remote-TPU "
+        "tunnel",
+    )
+    ap.add_argument(
         "--preview-dir",
         help="write preview_NNNN.png snapshots per progress event",
     )
@@ -145,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
 
         session = InteractiveSession(
             scene, cam, seed=args.seed, backend=args.backend,
-            converge_spp=args.converge_spp,
+            converge_spp=args.converge_spp, pipeline=args.pipeline,
         )
         frames = session.run(max_frames=args.frames)
         log.info("interactive session: %d frames", frames)

@@ -81,6 +81,7 @@ class InteractiveSession:
         backend: str = "auto",
         spp: int | None = None,
         converge_spp: int | None = None,
+        pipeline: int = 0,
         stream=None,
     ) -> None:
         self.params = params
@@ -102,6 +103,21 @@ class InteractiveSession:
         self._orbit0 = dataclasses.replace(self.orbit)
         self._last_pose: tuple | None = None
         self._last_img: np.ndarray | None = None
+        # Optional fetch pipeline (``pipeline`` frames in flight): the
+        # device->host preview fetch costs a tunnel round trip (~0.1 s)
+        # that otherwise serializes behind every dispatch; with pipelining
+        # the NEXT frame's dispatch overlaps the previous frame's fetch on
+        # a worker thread (same measured-safe pattern as
+        # examples/orbit_demo.py -- small payloads overlap fine) and the
+        # presentation lags ``pipeline`` frames. 0 = fully synchronous
+        # (the tested byte-equality contract presents the current frame).
+        self.pipeline = max(int(pipeline), 0)
+        self._pool = None
+        self._pending: list = []
+        if self.pipeline > 0:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self.display = rdisplay.TerminalDisplay(stream=stream)
         self.frames_rendered = 0
         self.quit = False
@@ -201,36 +217,65 @@ class InteractiveSession:
                 # Device-side preview fetch: tens of KB per frame at any
                 # frame size (a full-frame fetch is what caps large frames
                 # -- renderer._frame_preview_step).
-                _, prev, _ = self.renderer.render_frame_accum_preview(
+                _, prev, total = self.renderer.render_frame_accum_preview(
                     spp=chunk
                 )
-                img = np.asarray(prev)
+                if self._pool is not None:
+                    # Pipelined: fetch + present on the worker while the
+                    # next dispatch proceeds; return the newest PRESENTED
+                    # frame (lags <= self.pipeline frames).
+                    self._pending.append(
+                        self._pool.submit(self._emit, prev, total)
+                    )
+                    img = self._last_img
+                    while len(self._pending) > self.pipeline:
+                        img = self._pending.pop(0).result()
+                else:
+                    img = self._emit(prev, total)
             else:
                 img = self.renderer.render(
                     spp=self.samples_at_pose + chunk, resume=True
                 )
-            self._last_img = img
+                self._emit(img, self.samples_at_pose)
         else:
-            img = self._last_img
+            img = self.flush()
+            self._present(img, self.samples_at_pose)
         self.frames_rendered += 1
-        self._present(img)
         return img
 
-    def _present(self, img: np.ndarray) -> None:
+    def flush(self) -> np.ndarray | None:
+        """Drain any in-flight pipelined frames; returns the newest
+        presented image."""
+        while self._pending:
+            self._last_img = self._pending.pop(0).result()
+        return self._last_img
+
+    def _emit(self, img, total: int) -> np.ndarray:
+        """Fetch (if a device array) + present one frame labeled with the
+        sample count it actually contains. Runs on the pipeline worker
+        when pipelining (single worker -> presentation stays ordered)."""
+        img = np.asarray(img)
+        self._present(img, total)
+        self._last_img = img
+        return img
+
+    def _present(self, img: np.ndarray, samples: int) -> None:
         from .renderer import RenderProgress
 
         self.display(
             RenderProgress(
-                samples_done=self.samples_at_pose,
+                samples_done=samples,
                 samples_total=self.converge_spp,
                 pixels_count=self.renderer.pixels_count,
-                segments_traced=self.renderer.segments_traced,
+                # Non-blocking counter: a full segments_traced sync would
+                # stall the frame pipeline on unfinished device scalars.
+                segments_traced=self.renderer.segments_traced_ready,
                 elapsed_s=time.perf_counter() - self._t0,
                 _preview=lambda im=img: im,
             )
         )
         self.display.stream.write(
-            f"converge {self.samples_at_pose}/{self.converge_spp} spp  "
+            f"converge {samples}/{self.converge_spp} spp  "
             "keys: a/d orbit  w/s elevate  +/- zoom  r reset  "
             "ESC/x quit\x1b[0K\n"
         )
@@ -248,6 +293,7 @@ class InteractiveSession:
             while frames < n and not self.quit:
                 self.step()
                 frames += 1
+            self.flush()
             return frames
 
         import select
@@ -274,4 +320,5 @@ class InteractiveSession:
             pass  # Ctrl-C == quit (reference: ESC, main.cc:869-875)
         finally:
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            self.flush()
         return frames

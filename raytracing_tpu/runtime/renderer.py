@@ -568,6 +568,25 @@ class Renderer:
         return self._segments
 
     @property
+    def segments_traced_ready(self) -> int:
+        """``segments_traced`` without blocking: folds in only the pending
+        per-wave segment scalars whose device values are already available
+        (each ``int()`` of an unfinished scalar would cost a tunnel round
+        trip -- the interactive display must never stall the frame
+        pipeline). The count catches up as dispatches complete."""
+        pend = self._pending_segments
+        while pend:
+            h = pend[0]
+            try:
+                if not h.is_ready():
+                    break
+            except AttributeError:  # non-jax scalar (tests, xla path)
+                break
+            pend.pop(0)
+            self._segments += int(h)
+        return self._segments
+
+    @property
     def fraction_done(self) -> float:
         spp = getattr(self, "_spp_target", None)
         if not spp:
@@ -1249,7 +1268,13 @@ class Renderer:
         when ``fresh`` (its values are ignored under the static branch --
         no zeroing dispatch), else the carried per-pose sums."""
         if fresh:
-            return jnp.zeros((1, 3), jnp.float32)
+            # Cached dummy: a fresh jnp.zeros per motion frame would pay a
+            # host->device upload round trip EVERY frame on the remote
+            # tunnel (~0.05-0.1 s -- the orbit-phase fps limiter).
+            dummy = getattr(self, "_accum_dummy", None)
+            if dummy is None:
+                dummy = self._accum_dummy = jnp.zeros((1, 3), jnp.float32)
+            return dummy
         assert self._frame_accum_sum is not None  # count > 0 implies a sum
         if self._frame_accum_sum.shape[0] != slots:
             raise ValueError(

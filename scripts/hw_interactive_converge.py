@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--orbit-frames", type=int, default=60)
     ap.add_argument("--converge-spp", type=int, default=64)
+    ap.add_argument("--pipeline", type=int, default=2,
+                    help="preview fetches in flight (0 = synchronous)")
     ap.add_argument("--out", default="/tmp/converge.png",
                     help="write the converged preview image here")
     args = ap.parse_args()
@@ -58,43 +60,48 @@ def main() -> int:
     _, scene = rt.build_world(dataclasses.replace(world, camera=params))
     s = InteractiveSession(
         scene, params, seed=0, spp=args.spp,
-        converge_spp=args.converge_spp, stream=io.StringIO(),
+        converge_spp=args.converge_spp, pipeline=args.pipeline,
+        stream=io.StringIO(),
     )
 
-    # Warmup: first frame pays the Mosaic compile.
+    # Warmup: compile BOTH kernel variants (a motion frame runs the
+    # fresh-accumulation executable, an idle frame the accumulating one)
+    # so neither phase's timing swallows a compile.
     t0 = time.perf_counter()
     s.step("d")
+    s.step()
+    s.flush()
     t_compile = time.perf_counter() - t0
 
     # Phase 1: orbit -- pose changes every frame, accumulation restarts.
-    orbit_times = []
+    t_orbit0 = time.perf_counter()
     for _ in range(args.orbit_frames):
-        t0 = time.perf_counter()
         s.step("d")
-        orbit_times.append(time.perf_counter() - t0)
         assert s.samples_at_pose == args.spp  # motion resets accumulation
+    s.flush()
+    fps_orbit = args.orbit_frames / (time.perf_counter() - t_orbit0)
 
     # Phase 2: idle -- the held pose converges; track the spp climb.
-    idle_times = []
+    # (The pose carries the orbit phase's spp samples already.)
     t_idle0 = time.perf_counter()
     t_to_8 = None
     climb = []
-    img = None
+    idle_frames = 0
     while not s.converged:
-        t0 = time.perf_counter()
-        img = s.step()
-        idle_times.append(time.perf_counter() - t0)
+        s.step()
+        idle_frames += 1
         climb.append(s.samples_at_pose)
         if t_to_8 is None and s.samples_at_pose >= 8:
+            s.flush()  # count the presentation, not just the dispatch
             t_to_8 = time.perf_counter() - t_idle0
+    img = s.flush()
     t_converge = time.perf_counter() - t_idle0
     assert climb == sorted(climb) and climb[-1] == args.converge_spp, climb
 
     if img is not None:
         png.write_png(args.out, np.asarray(img))
 
-    fps_orbit = 1.0 / (sum(orbit_times) / len(orbit_times))
-    fps_idle = 1.0 / (sum(idle_times) / len(idle_times))
+    fps_idle = idle_frames / t_converge
     h = s.renderer.camera.image_height
     print(json.dumps({
         "metric": "interactive_converge",
@@ -104,7 +111,8 @@ def main() -> int:
         "fps_idle_converging": round(fps_idle, 2),
         "s_to_reference_8spp": round(t_to_8, 3) if t_to_8 else None,
         "s_to_converge_target": round(t_converge, 3),
-        "first_frame_s": round(t_compile, 2),
+        "warmup_s": round(t_compile, 2),
+        "pipeline": args.pipeline,
         "spp_climb_frames": len(climb),
     }))
     return 0

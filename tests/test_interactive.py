@@ -114,6 +114,33 @@ def test_converged_idle_stops_dispatching():
     assert s.samples_at_pose == 2 and not s.converged
 
 
+def test_pipelined_session_flush_byte_equal():
+    """With a fetch pipeline (presentation lags <= ``pipeline`` frames),
+    flush() drains in-flight frames and the newest presented image is the
+    same byte-exact accumulated mean as the synchronous path."""
+    b = SceneBuilder()
+    b.add_metallic_sphere((0.0, -100.5, -1.0), 100.0, (0.5, 0.5, 0.5), 0.0)
+    b.add_lambertian_sphere((0.0, 0.0, -1.0), 0.5, (0.7, 0.3, 0.3))
+    scene = b.build()
+    params = rt.CameraParameters(
+        aspect_ratio=2.0, image_width=64, samples_per_pixel=2, max_depth=3,
+        vertical_fov=45.0, defocus_angle=0.0, focus_distance=2.0,
+        lookfrom=(0.0, 0.5, 1.5), lookat=(0.0, 0.0, -1.0),
+    )
+    s = InteractiveSession(
+        scene, params, seed=0, backend="pallas", pipeline=2,
+        stream=io.StringIO(),
+    )
+    for _ in range(4):
+        s.step()
+    img = s.flush()
+    assert s.samples_at_pose == 8
+    oracle = rt.Renderer(
+        s.renderer.scene, s.renderer.params, seed=0, backend="pallas"
+    )
+    np.testing.assert_array_equal(img, oracle.render(spp=8))
+
+
 def test_xla_backend_accumulates_idle_frames_too():
     s = _session(backend="xla")
     img = None
