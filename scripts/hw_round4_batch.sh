@@ -18,7 +18,9 @@ run() { # run NAME TIMEOUT ENVS... -- CMD...
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
   say "$name"
-  timeout "$tmo" env "${envs[@]}" "$@" >> "$LOG" 2>>"$LOG.err" \
+  # Both streams into ONE log (shared timeline -- ADVICE r4): stderr
+  # lines land next to the phase banner instead of a separate .err file.
+  timeout "$tmo" env "${envs[@]}" "$@" >> "$LOG" 2>&1 \
     || echo "FAILED $name (rc=$?)" >> "$LOG"
 }
 
@@ -30,7 +32,7 @@ run shard-overhead 3600 RT_DUMMY=0 -- python scripts/hw_shard_overhead.py --repe
 
 say "phase 3: orbit 1200x705"
 run orbit-1spp 3600 RT_DUMMY=0 -- python examples/orbit_demo.py --width 1200 --spp 1 --frames 60
-run orbit-2spp 1200 RT_DUMMY=0 -- python examples/orbit_demo.py --width 1200 --spp 2 --frames 60
+run orbit-2spp 3600 RT_DUMMY=0 -- python examples/orbit_demo.py --width 1200 --spp 2 --frames 60
 
 say "phase 4: meshes:4 bench row"
 run meshes4 3600 RT_DUMMY=0 -- python bench.py --scene meshes:4 --repeats 3
