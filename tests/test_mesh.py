@@ -510,6 +510,35 @@ def test_pallas_mesh_only_scene():
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 2e-2
 
 
+def test_large_mesh_20k_tris_packs_and_renders():
+    """Large-mesh threshold (VERDICT r4 item 6): a >= 20k-triangle asset
+    (the asymptote class tinygltf was vendored for) must pack cleanly,
+    select the two-level triangle path at its padded size, and render
+    finite non-trivial radiance through the BVH-traversal backend. (The
+    Pallas path at this size is hardware-benched -- bench.py --scene
+    mesh:5 -- interpret mode at 32k rows is impractical for CI.)"""
+    from raytracing_tpu.ops.pallas import trace as ptrace
+
+    cam0, scene = rt.make_world_mesh(image_width=64, subdivisions=5)
+    assert scene.num_triangles == 20480
+    tri_tab, m_actual = ptrace.pack_triangles(scene)[:2]
+    assert m_actual == 20480 and tri_tab.shape[0] == 32768
+    assert ptrace._two_level_enabled(tri_tab.shape[0], tri=True)
+    # Stage-1 triangle blocks stay within the scoped-vmem budget class
+    # (256 rows by default; RT_TRI_BLK=512 is toolchain-blocked).
+    assert ptrace._tri_blk(tri_tab.shape[0]) == 256
+    import dataclasses
+
+    params = dataclasses.replace(
+        cam0, image_width=64, samples_per_pixel=2, max_depth=3,
+        aspect_ratio=2.0,
+    )
+    img = rt.Renderer(scene, params, seed=3, backend="xla").render()
+    assert img.shape == (32, 64, 3)
+    assert np.isfinite(img.astype(np.float32)).all()
+    assert img.std() > 10  # sky + ground + mesh actually shaded
+
+
 @pytest.mark.slow
 def test_renderer_mesh_pallas_vs_xla_image():
     scene = _metal_mesh_scene()
