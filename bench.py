@@ -54,6 +54,7 @@ _MATRIX = [
     {"scene": "cover", "spp": 1000, "depth": 50, "north_star": True},
     {"scene": "textured", "spp": 64, "depth": 8},
     {"scene": "mesh:3", "spp": 64, "depth": 8},
+    {"scene": "mesh:5", "spp": 64, "depth": 8},   # 20k-tri asymptote
     {"scene": "meshes:4", "spp": 64, "depth": 8},
     {"scene": "stress:2048", "spp": 64, "depth": 8},
     {"scene": "stress:8192", "spp": 64, "depth": 8},
