@@ -34,6 +34,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
         metavar="N",
         help="use the procedural N-sphere stress scene instead of --config",
     )
+    ap.add_argument(
+        "--gltf",
+        action="append",
+        default=[],
+        metavar="PATH[:SCALE[:TX,TY,TZ]]",
+        help="add every mesh primitive from a .gltf/.glb asset to the "
+        "scene (repeatable); optional uniform scale and translation, e.g. "
+        "--gltf model.glb:2.0:0,1,-3. pbrMetallicRoughness maps onto this "
+        "framework's materials (the capability the reference vendored "
+        "tinygltf for and never wired up)",
+    )
     ap.add_argument("--out", default="render.png", help="output PNG path")
     ap.add_argument("--width", type=int, help="override image width")
     ap.add_argument("--spp", type=int, help="override samples per pixel")
@@ -142,10 +153,26 @@ def main(argv: list[str] | None = None) -> int:
         cam = dataclasses.replace(cam, max_depth=args.depth)
     if not args.stress:
         world = dataclasses.replace(world, camera=cam)
-        _, scene = rt.build_world(world)
+        extra = None
+        if args.gltf:
+            def extra(builder, specs=tuple(args.gltf)):
+                for spec in specs:
+                    parts = spec.split(":")
+                    path = parts[0]
+                    scale = float(parts[1]) if len(parts) > 1 else 1.0
+                    translate = (
+                        tuple(float(x) for x in parts[2].split(","))
+                        if len(parts) > 2
+                        else (0.0, 0.0, 0.0)
+                    )
+                    builder.add_gltf(
+                        path, scale=scale, translate=translate
+                    )
+
+        _, scene = rt.build_world(world, extra=extra)
     log.info(
-        "scene %s: %d spheres; %dx%d @ %d spp depth %d",
-        source, scene.num_objects, cam.image_width,
+        "scene %s: %d spheres, %d triangles; %dx%d @ %d spp depth %d",
+        source, scene.num_objects, scene.num_triangles, cam.image_width,
         cam.image_height, cam.samples_per_pixel, cam.max_depth,
     )
 

@@ -284,6 +284,7 @@ def build_world(
     *,
     seed: int | None = DEFAULT_GRID_SEED,
     apply_center_filter: bool = False,
+    extra=None,
 ) -> tuple[CameraParameters, Scene]:
     """``make_world_spheres`` (``core.cc:99-149``): explicit objects plus the
     random grid of small spheres.
@@ -336,6 +337,11 @@ def build_world(
                 ior = 1.2 + 0.4 * rand.random()
                 builder.add_dielectric_sphere(center, 0.2, ior)
 
+    if extra is not None:
+        # Caller hook to extend the configured world (e.g. the CLI's
+        # --gltf assets) before packing -- the builder is the one place
+        # spheres, textures and triangle meshes compose.
+        extra(builder)
     return world.camera, builder.build()
 
 

@@ -21,6 +21,7 @@ from raytracing_tpu.ops import intersect as rintersect
 from raytracing_tpu.scene import gltf as rgltf
 from raytracing_tpu.scene import mesh as rmesh
 from raytracing_tpu.scene.types import MaterialKind, SceneBuilder
+from raytracing_tpu.utils import png
 
 
 def _keys(n, seed=0):
@@ -508,6 +509,42 @@ def test_pallas_mesh_only_scene():
     # packed keys + approx-reciprocal candidates vs exact argmin).
     assert tight.mean() >= 0.99, f"only {tight.mean():.4f} rays match"
     assert np.abs(rad_p.mean(0) - rx.mean(0)).max() < 2e-2
+
+
+def test_cli_gltf_end_to_end(tmp_path):
+    """--gltf through the real CLI: a .glb asset merges into the configured
+    world (spec syntax PATH:SCALE:TX,TY,TZ) and renders to PNG. Hermetic
+    child env (tunnel-down-proof, same pattern as test_examples.py)."""
+    import os
+    import subprocess
+    import sys
+
+    positions = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]]
+    indices = [0, 1, 2, 2, 1, 3]
+    doc, blob = _tiny_gltf_doc(positions, indices)
+    p = tmp_path / "quad.glb"
+    _write_glb(p, doc, blob)
+    out = tmp_path / "gltf.png"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=repo,
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "raytracing_tpu",
+            "--config", "data/config/world.config.json",
+            "--width", "64", "--spp", "1", "--depth", "2",
+            "--gltf", f"{p}:2.0:0,1,-3",
+            "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    img = png.read_png(str(out))
+    assert img.shape[0] > 0 and np.isfinite(img.astype(np.float32)).all()
 
 
 def test_large_mesh_20k_tris_packs_and_renders():
