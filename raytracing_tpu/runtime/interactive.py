@@ -102,6 +102,7 @@ class InteractiveSession:
         self.orbit = _orbit_from_params(params)
         self._orbit0 = dataclasses.replace(self.orbit)
         self._last_pose: tuple | None = None
+        self._idle_chunk = self.spp
         self._last_img: np.ndarray | None = None
         # Optional fetch pipeline (``pipeline`` frames in flight): the
         # device->host preview fetch costs a tunnel round trip (~0.1 s)
@@ -204,6 +205,7 @@ class InteractiveSession:
             )
             self.renderer.params = params
             self.renderer.camera = rcamera.derive(params)
+            self._idle_chunk = self.spp
             if self.renderer.backend == "pallas":
                 self.renderer.frame_accum_reset()
             else:
@@ -212,7 +214,16 @@ class InteractiveSession:
                 self.renderer.reseed(self.renderer.seed)
         remaining = self.converge_spp - self.samples_at_pose
         if remaining > 0:
-            chunk = min(self.spp, remaining)
+            # Idle chunks GROW (x2 per consecutive idle frame, capped at
+            # 4x the interactive spp): fewer dispatches to the converge
+            # target -- each dispatch pays a tunnel round trip -- while
+            # the first idle frames stay small so a keystroke interrupts
+            # quickly. Sample-set and presented image are decomposition-
+            # invariant (absolute RNG keys; byte-equality tested across
+            # chunkings), so growth changes timing only.
+            cap = max(self.spp, min(self._idle_chunk, 4 * self.spp))
+            self._idle_chunk = cap * 2
+            chunk = min(cap, remaining)
             if self.renderer.backend == "pallas":
                 # Device-side preview fetch: tens of KB per frame at any
                 # frame size (a full-frame fetch is what caps large frames

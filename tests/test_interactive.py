@@ -78,26 +78,26 @@ def test_idle_frames_converge_byte_equal_to_oneshot():
     visibly refines. Contract: after k idle frames the PRESENTED image is
     byte-equal to a one-shot render at the accumulated spp with the same
     seed/pose."""
-    s = _session()  # spp=2 per frame
+    s = _session()  # spp=2 per frame; idle chunks grow 2, 4, 8, ...
     img = None
     for _ in range(3):
         img = s.step()
-    assert s.samples_at_pose == 6
+    assert s.samples_at_pose == 14  # 2 + 4 + 8 (growth capped at 4*spp)
     oracle = rt.Renderer(
         s.renderer.scene, s.renderer.params, seed=0, backend="pallas"
     )
-    np.testing.assert_array_equal(img, oracle.render(spp=6))
+    np.testing.assert_array_equal(img, oracle.render(spp=14))
 
 
 def test_motion_resets_accumulation():
     s = _session()
     s.step()
     s.step()
-    assert s.samples_at_pose == 4
-    s.step("d")  # camera moved: accumulation restarts at this pose
+    assert s.samples_at_pose == 6  # 2 + 4 (idle growth)
+    s.step("d")  # camera moved: accumulation (and growth) restart
     assert s.samples_at_pose == 2
     s.step()
-    assert s.samples_at_pose == 4
+    assert s.samples_at_pose == 6
 
 
 def test_converged_idle_stops_dispatching():
@@ -134,23 +134,31 @@ def test_pipelined_session_flush_byte_equal():
     for _ in range(4):
         s.step()
     img = s.flush()
-    assert s.samples_at_pose == 8
+    assert s.samples_at_pose == 22  # 2 + 4 + 8 + 8 (growth cap 4*spp)
     oracle = rt.Renderer(
         s.renderer.scene, s.renderer.params, seed=0, backend="pallas"
     )
-    np.testing.assert_array_equal(img, oracle.render(spp=8))
+    np.testing.assert_array_equal(img, oracle.render(spp=22))
 
 
 def test_xla_backend_accumulates_idle_frames_too():
+    """The xla path accumulates through render(resume=True): the sample
+    SET is identical to a one-shot equal-spp render, but the f32 wave-sum
+    regrouping can move the last ulp (renderer.load_checkpoint docstring),
+    so a handful of u8 values may sit one quantization step off -- unlike
+    the pallas accum path, whose byte-exactness is asserted above."""
     s = _session(backend="xla")
     img = None
     for _ in range(2):
         img = s.step()
-    assert s.samples_at_pose == 4
+    assert s.samples_at_pose == 6  # 2 + 4 (idle growth)
     oracle = rt.Renderer(
         s.renderer.scene, s.renderer.params, seed=0, backend="xla"
     )
-    np.testing.assert_array_equal(img, oracle.render(spp=4))
+    ref = oracle.render(spp=6)
+    diff = np.abs(img.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005, (diff > 0).mean()
 
 
 def test_quit_key_ends_run():
