@@ -42,6 +42,9 @@ def main() -> int:
                     help="preview fetches in flight (0 = synchronous)")
     ap.add_argument("--out", default="/tmp/converge.png",
                     help="write the converged preview image here")
+    ap.add_argument("--out-before", default=None,
+                    help="also write the FIRST idle frame's preview (the "
+                    "noisy pre-convergence state, for side-by-side docs)")
     args = ap.parse_args()
 
     import numpy as np
@@ -87,9 +90,12 @@ def main() -> int:
     t_to_8 = None
     climb = []
     idle_frames = 0
+    before = None
     while not s.converged:
         s.step()
         idle_frames += 1
+        if before is None and args.out_before:
+            before = s.flush()  # first idle frame = the noisy state
         climb.append(s.samples_at_pose)
         if t_to_8 is None and s.samples_at_pose >= 8:
             s.flush()  # count the presentation, not just the dispatch
@@ -100,6 +106,8 @@ def main() -> int:
 
     if img is not None:
         png.write_png(args.out, np.asarray(img))
+    if before is not None:
+        png.write_png(args.out_before, np.asarray(before))
 
     fps_idle = idle_frames / t_converge
     h = s.renderer.camera.image_height
