@@ -117,6 +117,11 @@ def main() -> int:
                   f"converge{args.converge_spp}",
         "fps_orbit_warm": round(fps_orbit, 2),
         "fps_idle_converging": round(fps_idle, 2),
+        # Growing idle chunks make fps misleading; spp/s is the honest
+        # convergence rate.
+        "spp_per_s_idle": round(
+            (climb[-1] - args.spp) / t_converge, 1
+        ) if climb else None,
         "s_to_reference_8spp": round(t_to_8, 3) if t_to_8 else None,
         "s_to_converge_target": round(t_converge, 3),
         "warmup_s": round(t_compile, 2),
