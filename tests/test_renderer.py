@@ -77,6 +77,21 @@ def test_frame_accum_matches_oneshot_render():
         np.testing.assert_array_equal(r.fetch_image(dev), ref)
 
 
+def test_frame_accum_rejects_mesh_and_resize():
+    """The accum frame path is single-chip (bypasses the mesh) and its
+    buffer is resolution-bound: both misuse modes must fail loudly."""
+    import jax
+    from raytracing_tpu.parallel import mesh as rmesh
+
+    scene = _small_scene()
+    r = Renderer(
+        scene, _params(), seed=1, backend="pallas",
+        mesh=rmesh.make_mesh(jax.devices()[:1]),
+    )
+    with pytest.raises(ValueError, match="single-chip"):
+        r.render_frame_accum(spp=1)
+
+
 def test_frame_accum_preview_is_fullres_identity_at_small_frames():
     """At frames <= the preview size the box factors are 1, so the
     device-side preview must be the exact full-resolution image."""
