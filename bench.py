@@ -24,10 +24,11 @@ Usage: python bench.py [--spp N] [--depth N] [--width N] [--repeats N]
                        [--north-star]
        python bench.py --matrix [--out BENCH_FULL.json]
            runs the FULL BASELINE config matrix (cover@64, north star,
-           textured, mesh:3, meshes:4, stress:2048, stress:8192), one JSON
-           row per config, and writes the whole artifact to --out -- the
-           one-command round-over-round regression ledger (VERDICT r4
-           item 4).
+           textured, mesh:3, mesh:5, meshes:4, stress:2048, stress:8192
+           -- 8 rows), one JSON row per config (the one documented
+           exception to the single-line stdout contract), and writes the
+           whole artifact to --out -- the one-command round-over-round
+           regression ledger (VERDICT r4 item 4).
 """
 
 from __future__ import annotations
@@ -218,11 +219,13 @@ def _measure(
 
 def _run_matrix(args) -> int:
     rows = []
+    poisoned = False
     for cfg in _MATRIX:
         ns = cfg.get("north_star", False)
         row = _measure(
             cfg["scene"], args.width, cfg["spp"], cfg["depth"],
             seed=args.seed, repeats=args.repeats,
+            warmup_spp=args.warmup_spp,
             max_rays_per_batch=(1 << 24) if ns else args.max_rays_per_batch,
             north_star=ns,
         )
@@ -233,15 +236,28 @@ def _run_matrix(args) -> int:
             }
         print(json.dumps(row), flush=True)
         rows.append(row)
+        if row.get("metric") == "hung" or row.get("hung_runs"):
+            # A wedged dispatch poisons the runtime for every later
+            # config (same rationale as the single-run path) -- stop
+            # measuring, record what completed.
+            poisoned = True
+            break
     artifact = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "repeats": args.repeats,
         "width": args.width,
+        **({"aborted_on_hang": True} if poisoned else {}),
         "rows": rows,
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {args.out} ({len(rows)} rows)", file=sys.stderr)
+    if poisoned:
+        # Normal interpreter teardown can block on the wedged dispatch
+        # (jax atexit hooks) -- same escape hatch as the single-run path.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     return 0
 
 

@@ -139,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
     from .utils import png as rpng
 
     if args.stress:
+        if args.gltf:
+            print("--gltf requires the config world (remove --stress)",
+                  file=sys.stderr)
+            return 2
         cam, scene = rt.make_world_stress(args.stress)
         source = f"stress:{args.stress}"
     else:

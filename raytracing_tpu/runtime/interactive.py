@@ -99,6 +99,9 @@ class InteractiveSession:
             int(converge_spp) if converge_spp is not None
             else max(64, self.spp)
         )
+        # At least one frame's worth: a <= 0 target would take the
+        # converged branch before any image exists (None into the display).
+        self.converge_spp = max(self.converge_spp, self.spp, 1)
         self.orbit = _orbit_from_params(params)
         self._orbit0 = dataclasses.replace(self.orbit)
         self._last_pose: tuple | None = None
@@ -182,8 +185,13 @@ class InteractiveSession:
     def converged(self) -> bool:
         return self.samples_at_pose >= self.converge_spp
 
-    def step(self, keys: str = "") -> np.ndarray:
+    def step(self, keys: str = "") -> np.ndarray | None:
         """Process pending keystrokes, render + present ONE frame.
+
+        With ``pipeline > 0`` the returned image is the newest PRESENTED
+        frame, which lags dispatch by up to ``pipeline`` frames -- the
+        first calls return None until a frame has been presented (call
+        ``flush()`` to drain).
 
         Moving frames re-point the camera and restart the accumulation;
         idle frames fold ``spp`` more samples into the held pose's running

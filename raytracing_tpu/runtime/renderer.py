@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 import time
 from typing import Callable
 
@@ -518,6 +519,10 @@ class Renderer:
         self._samples_done = 0
         self._segments = 0
         self._pending_segments: list = []
+        # Guards _segments/_pending_segments: the interactive pipeline's
+        # worker thread drains ready segment scalars (_present ->
+        # segments_traced_ready) concurrently with main-thread reads.
+        self._seg_lock = threading.Lock()
         self._start_time: float | None = None
         self._end_time: float | None = None
         self._elapsed_base = 0.0
@@ -561,11 +566,13 @@ class Renderer:
 
     @property
     def segments_traced(self) -> int:
-        """Total ray segments traced (denominator for Mrays/s)."""
-        if self._pending_segments:
-            pending, self._pending_segments = self._pending_segments, []
-            self._segments += int(sum(int(s) for s in pending))
-        return self._segments
+        """Total ray segments traced (denominator for Mrays/s). Blocks
+        until every dispatched wave's segment scalar is available."""
+        with self._seg_lock:
+            if self._pending_segments:
+                pending, self._pending_segments = self._pending_segments, []
+                self._segments += int(sum(int(s) for s in pending))
+            return self._segments
 
     @property
     def segments_traced_ready(self) -> int:
@@ -574,17 +581,18 @@ class Renderer:
         (each ``int()`` of an unfinished scalar would cost a tunnel round
         trip -- the interactive display must never stall the frame
         pipeline). The count catches up as dispatches complete."""
-        pend = self._pending_segments
-        while pend:
-            h = pend[0]
-            try:
-                if not h.is_ready():
+        with self._seg_lock:
+            pend = self._pending_segments
+            while pend:
+                h = pend[0]
+                try:
+                    if not h.is_ready():
+                        break
+                except AttributeError:  # non-jax scalar (tests, xla path)
                     break
-            except AttributeError:  # non-jax scalar (tests, xla path)
-                break
-            pend.pop(0)
-            self._segments += int(h)
-        return self._segments
+                pend.pop(0)
+                self._segments += int(h)
+            return self._segments
 
     @property
     def fraction_done(self) -> float:

@@ -102,7 +102,8 @@ def main() -> int:
             t_to_8 = time.perf_counter() - t_idle0
     img = s.flush()
     t_converge = time.perf_counter() - t_idle0
-    assert climb == sorted(climb) and climb[-1] == args.converge_spp, climb
+    assert climb == sorted(climb), climb
+    assert not climb or climb[-1] == args.converge_spp, climb
 
     if img is not None:
         png.write_png(args.out, np.asarray(img))

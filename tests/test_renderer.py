@@ -91,6 +91,20 @@ def test_frame_accum_rejects_mesh_and_resize():
     with pytest.raises(ValueError, match="single-chip"):
         r.render_frame_accum(spp=1)
 
+    from raytracing_tpu.core import camera as rcamera
+
+    r2 = Renderer(scene, _params(), seed=1, backend="pallas")
+    r2.render_frame_accum(spp=1)
+    # Mid-accumulation resolution change: the held sum buffer no longer
+    # matches the slot count and must fail loudly, not silently mix.
+    r2.params = _params(image_width=128)
+    r2.camera = rcamera.derive(r2.params)
+    with pytest.raises(ValueError, match="resolution"):
+        r2.render_frame_accum(spp=1)
+    r2.frame_accum_reset()  # documented recovery path
+    dev, total = r2.render_frame_accum(spp=1)
+    assert total == 1
+
 
 def test_frame_accum_preview_is_fullres_identity_at_small_frames():
     """At frames <= the preview size the box factors are 1, so the
